@@ -1,0 +1,619 @@
+"""Static and adaptive equalization: EDC, NxN MIMO adaptive EQ, DBP, DFE/FFE/Volterra.
+
+TPU-native counterpart of reference ``optic/dsp/equalization.py``:
+
+- :func:`edc` ~ equalization.py:36 — frequency-domain CD compensation over the
+  batched overlap-save primitive (all modes in one call; the time axis can be
+  sharded across chips, see opticommpy_tpu.parallel).
+- :func:`mimo_adapt_equalizer` ~ equalization.py:125 with the Numba hot loop
+  coreAdaptEq (equalization.py:354) re-expressed as a ``lax.scan`` over
+  symbols carrying the tap tensor H — the update rule is selected at trace
+  time, so each training stage compiles to one fused scan kernel. All seven
+  update rules (nlms/cma/dd-lms/rde/da-rde/rls/dd-rls) + 'static' and the
+  widely-linear mode are implemented.
+- :func:`manakov_dbp` ~ equalization.py:976 — digital backpropagation reusing
+  the Manakov span kernel from opticommpy_tpu.models.channels with inverted
+  signs (one code path for channel and compensator).
+- :func:`dfe` / :func:`ffe` / :func:`volterra` ~ equalization.py:1176,1545,1868
+  — SISO decision-feedback scans.
+"""
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opticommpy_tpu.comm.modulation import gray_mapping
+from opticommpy_tpu.comm.sources import symbol_pmf
+from opticommpy_tpu.models.channels import _manakov_span, _to_columns, fiber_coefficients
+from opticommpy_tpu.models.config import SSFMConfig
+from opticommpy_tpu.ops.filtering import overlap_save
+from opticommpy_tpu.ops.signal import anorm, pnorm
+
+__all__ = [
+    "edc",
+    "EDCConfig",
+    "mimo_adapt_equalizer",
+    "MIMOEqualizerConfig",
+    "manakov_dbp",
+    "dfe",
+    "ffe",
+    "volterra",
+    "DFEConfig",
+    "FFEConfig",
+    "VolterraConfig",
+]
+
+
+# ---------------------------------------------------------------------------
+# EDC
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class EDCConfig:
+    """Chromatic-dispersion compensation parameters (equalization.py:36)."""
+
+    L: float = 50.0  # [km]
+    D: float = 16.0  # [ps/nm/km]
+    Fc: float = 193.1e12
+    Fs: float = None
+    Rs: float = 32e9
+    NfilterCoeffs: int = None
+    Nfft: int = None
+
+
+def edc(sig, config: EDCConfig):
+    """Electronic chromatic dispersion compensation (reference equalization.py:36).
+
+    Builds the inverse CD frequency response ``H = exp(-j*b2/2*w^2*L)`` on an
+    auto-sized tap grid (Savory's rule, equalization.py:97) and applies it
+    with overlap-save block convolution — one batched call across modes.
+    """
+    if config.Fs is None:
+        raise ValueError("Simulation sampling frequency (Fs) not provided.")
+    sig = jnp.asarray(sig)
+    _, beta2 = fiber_coefficients(0.0, config.D, config.Fc)
+    n_coeffs = config.NfilterCoeffs
+    if n_coeffs is None:
+        n_coeffs = int(
+            2
+            * np.ceil(
+                6.67 * np.abs(beta2) * config.L * config.Rs**2 * (config.Fs / config.Rs)
+            )
+        )
+    nfft = config.Nfft
+    if nfft is None:
+        nfft = 2 ** int(np.ceil(np.log2(n_coeffs)))
+    w = 2 * np.pi * config.Fs * np.fft.fftfreq(n_coeffs)
+    H = jnp.asarray(np.exp(-1j * (beta2 / 2) * (w**2) * config.L).astype(np.complex64))
+    return overlap_save(sig, H, nfft=nfft, freq_domain_filter=True)
+
+
+# ---------------------------------------------------------------------------
+# N x N MIMO adaptive equalizer
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MIMOEqualizerConfig:
+    """MIMO adaptive equalizer parameters (equalization.py:125 defaults).
+
+    ``alg``/``mu``/``L`` are per-training-stage tuples; stage i runs algorithm
+    alg[i] with step mu[i] for L[i] output symbols.
+    """
+
+    numIter: int = 1
+    nTaps: int = 15
+    mu: tuple = (1e-3,)
+    lambdaRLS: float = 0.99
+    SpS: int = 2
+    L: tuple = None  # per-stage lengths; None = single stage over everything
+    storeCoeff: bool = False
+    runWL: bool = False
+    alg: tuple = ("nlms",)
+    constType: str = "qam"
+    M: int = 4
+    shapingFactor: float = 0.0
+
+
+def _decide(z, const):
+    """Hard decision: closest constellation point (per mode)."""
+    return const[jnp.argmin(jnp.abs(z[:, None] - const[None, :]) ** 2, axis=1)]
+
+
+def _make_update(alg, const, r_cma, r_rde, mu, lam, run_wl):
+    """Build the per-symbol tap update for one training stage.
+
+    All rules share the gradient form ``H[out, in, :] += mu * e[out] *
+    conj(win[:, in])`` (an outer product over (modes_out, modes_in, taps))
+    with rule-specific error terms, matching equalization.py:519-973.
+    """
+
+    def grad_update(H, H_, err_vec, win):
+        # err_vec: (modes,), win: (taps, modes)
+        upd = err_vec[:, None, None] * jnp.conj(win.T)[None, :, :]  # (o, i, t)
+        H = H + mu * upd
+        if run_wl:
+            H_ = H_ + mu * err_vec[:, None, None] * win.T[None, :, :]
+        return H, H_
+
+    if alg == "nlms":
+
+        def update(carry, out_eq, ref, win):
+            H, H_, Sd = carry
+            err = ref - out_eq
+            norm2 = jnp.sum(jnp.abs(win) ** 2, axis=0)  # per input mode
+            win_n = win / norm2[None, :]
+            H, H_ = grad_update(H, H_, err, win_n)
+            return (H, H_, Sd), jnp.abs(err) ** 2
+
+    elif alg == "cma":
+
+        def update(carry, out_eq, ref, win):
+            H, H_, Sd = carry
+            err = (r_cma - jnp.abs(out_eq) ** 2).astype(H.dtype)
+            H, H_ = grad_update(H, H_, err * out_eq, win)
+            return (H, H_, Sd), jnp.abs(err) ** 2
+
+    elif alg == "dd-lms":
+
+        def update(carry, out_eq, ref, win):
+            H, H_, Sd = carry
+            err = _decide(out_eq, const) - out_eq
+            H, H_ = grad_update(H, H_, err, win)
+            return (H, H_, Sd), jnp.abs(err) ** 2
+
+    elif alg == "rde":
+
+        def update(carry, out_eq, ref, win):
+            H, H_, Sd = carry
+            r_dec = r_rde[jnp.argmin(jnp.abs(r_rde[None, :] - jnp.abs(out_eq)[:, None]), axis=1)]
+            err = (r_dec**2 - jnp.abs(out_eq) ** 2).astype(H.dtype)
+            H, H_ = grad_update(H, H_, err * out_eq, win)
+            return (H, H_, Sd), jnp.abs(err) ** 2
+
+    elif alg == "da-rde":
+
+        def update(carry, out_eq, ref, win):
+            H, H_, Sd = carry
+            err = (jnp.abs(ref) ** 2 - jnp.abs(out_eq) ** 2).astype(H.dtype)
+            H, H_ = grad_update(H, H_, err * out_eq, win)
+            return (H, H_, Sd), jnp.abs(err) ** 2
+
+    elif alg in ("rls", "dd-rls"):
+
+        def update(carry, out_eq, ref, win):
+            H, H_, Sd = carry
+            if alg == "rls":
+                err = ref - out_eq
+            else:
+                err = _decide(out_eq, const) - out_eq
+            # per input mode: Kalman-gain style inverse-correlation update
+            # (reference rlsUp, equalization.py:575: A = Sd@conj(x),
+            # B = x^T@Sd, Sd' = (Sd - A@B/(lam + x^T@Sd@conj(x)))/lam,
+            # update direction Y = Sd'@conj(x))
+            def upd_mode(Sd_n, x):
+                xc = jnp.conj(x)[:, None]  # conj(x) column
+                A = Sd_n @ xc
+                B = x[None, :] @ Sd_n
+                C = (x[None, :] @ A)[0, 0]
+                Sd_new = (Sd_n - (A @ B) / (lam + C)) / lam
+                y = Sd_new @ xc
+                return Sd_new, y[:, 0]
+
+            Sd_new, Y = jax.vmap(upd_mode)(Sd, win.T)  # over input modes
+            # H[out, in, :] += err[out] * Y[in, :]
+            H = H + err[:, None, None] * Y[None, :, :]
+            return (H, H_, Sd_new), jnp.abs(err) ** 2
+
+    elif alg == "static":
+
+        def update(carry, out_eq, ref, win):
+            H, H_, Sd = carry
+            err = ref - out_eq
+            return (H, H_, Sd), jnp.abs(err) ** 2
+
+    else:
+        raise ValueError(
+            "Equalization algorithm not specified (or incorrectly specified)."
+        )
+
+    return update
+
+
+@partial(
+    jax.jit,
+    static_argnames=("alg", "sps", "n_taps", "length", "run_wl", "store_coeff"),
+)
+def _adapt_eq_stage(
+    sig_pad, symb_ref, H, H_, Sd, const, r_cma, r_rde, mu, lam,
+    alg, sps, n_taps, length, run_wl, store_coeff,
+):
+    """One training stage: lax.scan over ``length`` output symbols.
+
+    sig_pad: (Lpad + N*SpS + Lpad, modes) padded input slice for this stage.
+    H: (modes, modes, taps) tap tensor (H[out, in, :]).
+    """
+    update = _make_update(alg, const, r_cma, r_rde, mu, lam, run_wl)
+
+    def step(carry, ind):
+        H, H_, Sd = carry
+        win = jax.lax.dynamic_slice_in_dim(sig_pad, ind * sps, n_taps, axis=0)
+        # out_eq[o] = sum_i H[o, i, :] . win[:, i]
+        out_eq = jnp.einsum("oit,ti->o", H, win)
+        if run_wl:
+            out_eq = out_eq + jnp.einsum("oit,ti->o", H_, jnp.conj(win))
+        ref = symb_ref[ind]
+        (H, H_, Sd), err_sq = update((H, H_, Sd), out_eq, ref, win)
+        out = (out_eq, err_sq, H) if store_coeff else (out_eq, err_sq)
+        return (H, H_, Sd), out
+
+    (H, H_, Sd), outs = jax.lax.scan(step, (H, H_, Sd), jnp.arange(length))
+    if store_coeff:
+        sig_out, err_sq, h_iter = outs
+    else:
+        sig_out, err_sq = outs
+        h_iter = H[None]
+    return sig_out, H, H_, Sd, err_sq, h_iter
+
+
+def mimo_adapt_equalizer(sig, config: MIMOEqualizerConfig = None, symb_ref=None,
+                         H=None, H_=None, return_results=False):
+    """N x N MIMO adaptive equalizer with multi-stage training.
+
+    Parity with reference mimoAdaptEqualizer (equalization.py:125): central
+    spike initialization, zero padding of nTaps//2 at both ends, per-stage
+    algorithm list, pre-convergence iterations of the first stage, optional
+    widely-linear mode and coefficient storage.
+
+    Returns the equalized symbols, or (sigOut, H, H_, errSq, Hiter) when
+    ``return_results`` is True.
+    """
+    if config is None:
+        config = MIMOEqualizerConfig()
+    sig = jnp.asarray(sig)
+    squeeze = sig.ndim == 1
+    if squeeze:
+        sig = sig[:, None]
+    if symb_ref is None:
+        symb_ref = sig
+    symb_ref = jnp.asarray(symb_ref)
+    if symb_ref.ndim == 1:
+        symb_ref = symb_ref[:, None]
+
+    n_modes = sig.shape[1]
+    n_taps = config.nTaps
+    sps = config.SpS
+    l_pad = n_taps // 2
+    # extra trailing zeros guarantee every stage slice holds full windows
+    sig_pad = jnp.pad(sig.astype(jnp.complex64), ((l_pad, l_pad + sps + n_taps), (0, 0)))
+
+    # normalized reference constellation under the shaping pmf
+    const = gray_mapping(config.M, config.constType)
+    px = symbol_pmf(config.M, config.constType,
+                    "maxwell-boltzmann" if config.shapingFactor else "uniform",
+                    config.shapingFactor)
+    const = jnp.asarray((const / np.sqrt(np.sum(np.abs(const) ** 2 * px))).astype(np.complex64))
+
+    total_symbols = int(np.fix((sig.shape[0] + 2 * l_pad - n_taps) / sps + 1))
+    stage_lengths = config.L if config.L is not None else (total_symbols,)
+    algs = config.alg
+    mus = config.mu
+    if len(mus) == 1 and len(algs) > 1:
+        mus = mus * len(algs)
+
+    # tap tensors: H[out, in, taps], central-spike init
+    if H is None:
+        H = jnp.zeros((n_modes, n_modes, n_taps), dtype=jnp.complex64)
+        H = H.at[jnp.arange(n_modes), jnp.arange(n_modes), n_taps // 2].set(1.0)
+    if H_ is None:
+        H_ = jnp.zeros((n_modes, n_modes, n_taps), dtype=jnp.complex64)
+    Sd = jnp.tile(jnp.eye(n_taps, dtype=jnp.complex64), (n_modes, 1, 1))
+
+    r_cma = jnp.asarray(
+        np.mean(np.abs(np.asarray(const)) ** 4) / np.mean(np.abs(np.asarray(const)) ** 2)
+    ).astype(jnp.float32)
+    r_rde = jnp.asarray(np.unique(np.abs(np.asarray(const))).astype(np.float32))
+
+    outs, errs, h_iters = [], [], []
+    n_start = 0
+    for stage, alg in enumerate(algs):
+        length = int(stage_lengths[stage])
+        stage_slice = sig_pad[
+            n_start * sps : (n_start + length - 1) * sps + n_taps
+        ]
+        ref_slice = symb_ref[n_start : n_start + length]
+        n_iter = config.numIter if stage == 0 else 1
+        for _ in range(n_iter):
+            sig_out, H, H_, Sd, err_sq, h_iter = _adapt_eq_stage(
+                stage_slice, ref_slice, H, H_, Sd, const, r_cma, r_rde,
+                float(mus[stage]), float(config.lambdaRLS),
+                alg, sps, n_taps, length, config.runWL, config.storeCoeff,
+            )
+        outs.append(sig_out)
+        errs.append(err_sq)
+        h_iters.append(h_iter)
+        n_start += length
+
+    sig_out = jnp.concatenate(outs, axis=0)
+    err_sq = jnp.concatenate(errs, axis=0).T
+    h_iter = jnp.concatenate(h_iters, axis=0) if config.storeCoeff else h_iters[-1]
+    if squeeze:
+        sig_out = sig_out[:, 0]
+    if return_results:
+        return sig_out, H, H_, err_sq, h_iter
+    return sig_out
+
+
+# ---------------------------------------------------------------------------
+# Manakov digital backpropagation
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("config",))
+def manakov_dbp(e_in, config: SSFMConfig):
+    """Manakov-equation digital backpropagation (reference equalization.py:976).
+
+    Runs the same span kernel as the forward Manakov SSFM with inverted
+    linear/nonlinear signs: per span, first undo the amplifier gain
+    (multiply by exp(-alpha/2*Lspan)), then back-propagate with
+    ``+alpha/2 - j*beta2/2*w^2`` and negative gamma.
+    """
+    if config.Fs is None:
+        raise ValueError("Simulation sampling frequency (Fs) not provided.")
+    e_in = jnp.asarray(e_in, dtype=jnp.complex64)
+    n = e_in.shape[0]
+    e = jnp.stack([e_in[:, 0::2].T, e_in[:, 1::2].T])
+
+    alpha, beta2 = fiber_coefficients(config.alpha, config.D, config.Fc)
+    n_spans = int(np.floor(config.Ltotal / config.Lspan))
+    w = 2 * jnp.pi * config.Fs * jnp.fft.fftfreq(n)
+    lin_arg = ((alpha / 2) - 1j * (beta2 / 2) * w**2).astype(jnp.complex64)
+
+    def span(e, _):
+        if config.amp in ("edfa", "ideal"):
+            e = e * jnp.exp(-alpha / 2 * config.Lspan)
+        e = _manakov_span(e, lin_arg, config.Lspan, config, nl_sign=-1.0)
+        return e, None
+
+    e, _ = jax.lax.scan(span, e, jnp.arange(n_spans))
+    return _to_columns(e, n)
+
+
+# ---------------------------------------------------------------------------
+# SISO decision-feedback equalizers (DFE / FFE / Volterra)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DFEConfig:
+    """Decision-feedback equalizer parameters (equalization.py:1176)."""
+
+    nTapsFF: int = 5
+    nTapsFB: int = 5
+    SpS: int = 1
+    mu: float = 1e-4
+    nTrain: int = 1000
+    M: int = 4
+    constType: str = "pam"
+    trainingMode: str = "data-aided"  # or 'fulltime'
+    preconvIters: int = 1
+
+
+@dataclass(frozen=True)
+class FFEConfig:
+    """Feedforward equalizer parameters (equalization.py:1545)."""
+
+    nTaps: int = 5
+    mu: float = 1e-4
+    SpS: int = 1
+    nTrain: int = 1000
+    M: int = 4
+    constType: str = "pam"
+    trainingMode: str = "data-aided"
+    preconvIters: int = 1
+
+
+@dataclass(frozen=True)
+class VolterraConfig:
+    """Volterra equalizer parameters (equalization.py:1868)."""
+
+    n1Taps: int = 5
+    n2Taps: int = 3
+    n3Taps: int = 2
+    SpS: int = 1
+    mu: float = 1e-3
+    nTrain: int = 1000
+    order: int = 2
+    M: int = 4
+    constType: str = "pam"
+    trainingMode: str = "data-aided"
+    preconvIters: int = 1
+
+
+def _norm_const(M, const_type):
+    const = gray_mapping(M, const_type)
+    return jnp.asarray(
+        (const / np.sqrt(np.mean(np.abs(const) ** 2))).astype(np.complex64)
+    )
+
+
+def _windows(sig_pad, n_out, sps, n_taps):
+    """(n_out, n_taps) matrix of input windows, gathered once."""
+    idx = np.arange(n_out)[:, None] * sps + np.arange(n_taps)[None, :]
+    return sig_pad[jnp.asarray(idx)]
+
+
+@partial(jax.jit, static_argnames=("cfg", "is_complex"))
+def _ffe_core(wins, symb_ref, f0, cfg: FFEConfig, is_complex):
+    const = _norm_const(cfg.M, cfg.constType)
+    n_train = cfg.nTrain
+    fulltime = cfg.trainingMode == "fulltime"
+
+    def run(f):
+        def step(f, inp):
+            k, win, ref = inp
+            y = jnp.sum(f * win)
+            dec = const[jnp.argmin(jnp.abs(y - const))]
+            out_ref = jnp.where(k < n_train, ref, dec)
+            e = out_ref - y
+            do_update = fulltime | (k < n_train)
+            g = e * (jnp.conj(win) if is_complex else win)
+            f = jnp.where(do_update, f + cfg.mu * g, f)
+            return f, (y, jnp.abs(e) ** 2)
+
+        ks = jnp.arange(wins.shape[0])
+        f, (y, mse) = jax.lax.scan(step, f, (ks, wins, symb_ref))
+        return f, y, mse
+
+    f = f0
+    for _ in range(cfg.preconvIters):
+        f, y, mse = run(f)
+    return y, f, mse
+
+
+def ffe(sig, symb_ref, config: FFEConfig = FFEConfig()):
+    """Decision-directed feedforward LMS equalizer (equalization.py:1545).
+
+    Returns (sigOut, f, mse). The per-symbol recurrence is a ``lax.scan``;
+    the input windows are gathered as one (N, taps) matrix up front.
+    """
+    sig = pnorm(jnp.asarray(sig)).astype(jnp.complex64)
+    symb_ref = pnorm(jnp.asarray(symb_ref).reshape(-1)).astype(jnp.complex64)
+    n_taps = config.nTaps
+    sig_pad = jnp.pad(sig.reshape(-1), (n_taps // 2, n_taps // 2))
+    n_out = int((sig_pad.shape[0] - n_taps + n_taps % 2) // config.SpS)
+    wins = _windows(sig_pad, n_out, config.SpS, n_taps)
+    ref = jnp.zeros(n_out, dtype=jnp.complex64).at[: symb_ref.shape[0]].set(
+        symb_ref[:n_out]
+    )
+    f0 = jnp.zeros(n_taps, dtype=jnp.complex64).at[n_taps // 2].set(1.0)
+    is_complex = config.constType != "pam"
+    y, f, mse = _ffe_core(wins, ref, f0, config, is_complex)
+    if config.constType == "pam":
+        y = y.real
+    return y, f, mse.real
+
+
+@partial(jax.jit, static_argnames=("cfg", "is_complex"))
+def _dfe_core(wins, symb_ref, f0, b0, cfg: DFEConfig, is_complex):
+    const = _norm_const(cfg.M, cfg.constType)
+    n_train = cfg.nTrain
+    fulltime = cfg.trainingMode == "fulltime"
+
+    def run(fb):
+        def step(carry, inp):
+            f, b, dbuf = carry
+            k, win, ref = inp
+            y = jnp.sum(f * win) + jnp.sum(b * dbuf)
+            dec = const[jnp.argmin(jnp.abs(y - const))]
+            out_ref = jnp.where(k < n_train, ref, dec)
+            e = out_ref - y
+            do_update = fulltime | (k < n_train)
+            gf = e * (jnp.conj(win) if is_complex else win)
+            gb = e * (jnp.conj(dbuf) if is_complex else dbuf)
+            f = jnp.where(do_update, f + cfg.mu * gf, f)
+            b = jnp.where(do_update, b + cfg.mu * gb, b)
+            dbuf = jnp.roll(dbuf, 1).at[0].set(out_ref)
+            return (f, b, dbuf), (y, jnp.abs(e) ** 2)
+
+        f, b = fb
+        dbuf = jnp.zeros(cfg.nTapsFB, dtype=jnp.complex64)
+        ks = jnp.arange(wins.shape[0])
+        (f, b, _), (y, mse) = jax.lax.scan(step, (f, b, dbuf), (ks, wins, symb_ref))
+        return (f, b), y, mse
+
+    fb = (f0, b0)
+    for _ in range(cfg.preconvIters):
+        fb, y, mse = run(fb)
+    return y, fb[0], fb[1], mse
+
+
+def dfe(sig, symb_ref, config: DFEConfig = DFEConfig()):
+    """Decision-feedback LMS equalizer (equalization.py:1176).
+
+    Returns (sigOut, f, b, mse).
+    """
+    sig = pnorm(jnp.asarray(sig)).astype(jnp.complex64)
+    symb_ref = pnorm(jnp.asarray(symb_ref).reshape(-1)).astype(jnp.complex64)
+    n_ff = config.nTapsFF
+    sig_pad = jnp.pad(sig.reshape(-1), (n_ff // 2, n_ff // 2))
+    n_out = int((sig_pad.shape[0] - n_ff + n_ff % 2) // config.SpS)
+    wins = _windows(sig_pad, n_out, config.SpS, n_ff)
+    ref = jnp.zeros(n_out, dtype=jnp.complex64).at[: symb_ref.shape[0]].set(
+        symb_ref[:n_out]
+    )
+    f0 = jnp.zeros(n_ff, dtype=jnp.complex64).at[n_ff // 2].set(1.0)
+    b0 = jnp.zeros(config.nTapsFB, dtype=jnp.complex64)
+    is_complex = config.constType != "pam"
+    y, f, b, mse = _dfe_core(wins, ref, f0, b0, config, is_complex)
+    if config.constType == "pam":
+        y = y.real
+    return y, f, b, mse.real
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _volterra_core(wins, symb_ref, h1_0, h2_0, h3_0, cfg: VolterraConfig):
+    const = _norm_const(cfg.M, cfg.constType)
+    n_train = cfg.nTrain
+    fulltime = cfg.trainingMode == "fulltime"
+    t2 = (cfg.n1Taps - cfg.n2Taps) // 2
+    t3 = (cfg.n1Taps - cfg.n3Taps) // 2
+
+    def run(hs):
+        def step(carry, inp):
+            h1, h2, h3 = carry
+            k, win, ref = inp
+            x2 = jax.lax.dynamic_slice_in_dim(win, t2, cfg.n2Taps)
+            outer2 = x2[:, None] * x2[None, :]
+            y = jnp.sum(h1 * win) + jnp.sum(h2 * outer2)
+            if cfg.order == 3:
+                x3 = jax.lax.dynamic_slice_in_dim(win, t3, cfg.n3Taps)
+                outer3 = x3[:, None, None] * x3[None, :, None] * x3[None, None, :]
+                y = y + jnp.sum(h3 * outer3)
+            dec = const[jnp.argmin(jnp.abs(y - const))]
+            out_ref = jnp.where(k < n_train, ref, dec)
+            e = out_ref - y
+            do_update = fulltime | (k < n_train)
+            h1 = jnp.where(do_update, h1 + cfg.mu * e * win, h1)
+            h2 = jnp.where(do_update, h2 + cfg.mu / 2 * e * outer2, h2)
+            if cfg.order == 3:
+                h3 = jnp.where(do_update, h3 + cfg.mu / 7 * e * outer3, h3)
+            return (h1, h2, h3), (y, jnp.abs(e) ** 2)
+
+        ks = jnp.arange(wins.shape[0])
+        hs, (y, mse) = jax.lax.scan(step, hs, (ks, wins, symb_ref))
+        return hs, y, mse
+
+    hs = (h1_0, h2_0, h3_0)
+    for _ in range(cfg.preconvIters):
+        hs, y, mse = run(hs)
+    return y, hs[0], hs[1], hs[2], mse
+
+
+def volterra(sig, symb_ref, config: VolterraConfig = VolterraConfig()):
+    """Decision-directed Volterra equalizer to 3rd order (equalization.py:1868).
+
+    Returns (sigOut, [h1, h2, h3], mse). The nonlinear kernel contractions are
+    per-step outer products inside the scan (small, VPU-friendly).
+    """
+    if config.n1Taps < config.n2Taps or config.n1Taps < config.n3Taps:
+        raise ValueError("n1Taps must be >= n2Taps and n3Taps.")
+    sig = anorm(pnorm(jnp.asarray(sig).reshape(-1))).real.astype(jnp.float32)
+    symb_ref = pnorm(jnp.asarray(symb_ref).reshape(-1)).real.astype(jnp.float32)
+    n_taps = max(config.n1Taps, config.n2Taps, config.n3Taps)
+    sig_pad = jnp.pad(sig, (n_taps // 2, n_taps // 2))
+    n_out = int((sig_pad.shape[0] - n_taps + n_taps % 2) // config.SpS)
+    wins = _windows(sig_pad, n_out, config.SpS, n_taps)
+    ref = jnp.zeros(n_out, dtype=jnp.float32).at[: symb_ref.shape[0]].set(
+        symb_ref[:n_out]
+    )
+    h1 = jnp.zeros(config.n1Taps, dtype=jnp.float32).at[config.n1Taps // 2].set(1.0)
+    h2 = jnp.zeros((config.n2Taps, config.n2Taps), dtype=jnp.float32)
+    h3 = jnp.zeros((config.n3Taps,) * 3, dtype=jnp.float32)
+    y, h1, h2, h3, mse = _volterra_core(wins, ref, h1, h2, h3, config)
+    return pnorm(y), [h1, h2, h3], mse

@@ -1,0 +1,293 @@
+"""Fiber channel models: linear fiber, scalar SSFM, Manakov SSFM, AWGN.
+
+TPU-native counterpart of reference ``optic/models/channels.py`` (and its GPU
+twin ``modelsGPU.py``). The split-step loops are the hottest code in the
+framework; they are structured for XLA/TPU:
+
+- both polarizations and all batched signals (WDM channels / power sweeps /
+  Monte-Carlo seeds) are stacked on leading axes of a single (2, B, N) field
+  tensor, so every FFT is one batched XLA FFT over the time (lane) axis —
+  replacing the reference's per-array numpy/cupy FFTs,
+- spans run under ``lax.scan``; the z-stepping inside a span is a
+  ``lax.while_loop`` (supports the reference's adaptive step-size rule,
+  channels.py:392-397, with data-dependent trip count), and the trapezoidal
+  nonlinear iteration (channels.py:413-436) is an inner ``lax.while_loop``
+  with the same convergence criterion,
+- ASE injection uses per-span PRNG keys derived with ``fold_in`` (the GPU
+  reference advances its seed per span, modelsGPU.py:259-260).
+
+The batched-leading-axis layout is exactly what ``vmap``/``shard_map`` need to
+scale WDM sweeps across chips (see opticommpy_tpu.parallel).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.constants as sconst
+
+from opticommpy_tpu.models.config import AWGNConfig, EDFAConfig, LinearFiberConfig, SSFMConfig
+from opticommpy_tpu.models.devices import edfa
+from opticommpy_tpu.ops.noise import gaussian_complex_noise, gaussian_noise
+from opticommpy_tpu.ops.signal import sig_pow
+
+__all__ = [
+    "linear_fiber_channel",
+    "ssfm",
+    "manakov_ssf",
+    "nlin_phase_rot",
+    "convergence_condition",
+    "awgn",
+    "fiber_coefficients",
+]
+
+
+def fiber_coefficients(alpha_db_km, D_ps_nm_km, fc_hz):
+    """(alpha [1/km], beta2 [ps^2/km]) from engineering units (channels.py:78-82)."""
+    c_kms = sconst.c / 1e3
+    lam = c_kms / fc_hz
+    alpha = alpha_db_km / (10 * np.log10(np.e))
+    beta2 = -(D_ps_nm_km * lam**2) / (2 * np.pi * c_kms)
+    return alpha, beta2
+
+
+def linear_fiber_channel(e_in, config: LinearFiberConfig):
+    """Linear fiber: one-shot frequency-domain loss + chromatic dispersion.
+
+    Parity with reference channels.py:30: ``H(w) = exp(-a/2*L + j*b2/2*w^2*L)``.
+    """
+    if config.Fs is None:
+        raise ValueError("Simulation sampling frequency (Fs) not provided.")
+    e_in = jnp.asarray(e_in)
+    squeeze = e_in.ndim == 1
+    if squeeze:
+        e_in = e_in[:, None]
+    alpha, beta2 = fiber_coefficients(config.alpha, config.D, config.Fc)
+    n = e_in.shape[0]
+    w = 2 * jnp.pi * config.Fs * jnp.fft.fftfreq(n)
+    H = jnp.exp(
+        (-alpha / 2) * config.L + 1j * (beta2 / 2) * (w**2) * config.L
+    ).astype(jnp.complex64)
+    out = jnp.fft.ifft(jnp.fft.fft(e_in, axis=0) * H[:, None], axis=0)
+    return out[:, 0] if squeeze else out
+
+
+def nlin_phase_rot(ex, ey, pch, gamma_):
+    """Manakov nonlinear phase rotation per km (reference channels.py:471).
+
+    Trapezoidal form: 8/9*gamma*(P_start + |Ex|^2 + |Ey|^2)/2.
+    """
+    return ((8 / 9) * gamma_ * (pch + jnp.abs(ex) ** 2 + jnp.abs(ey) ** 2) / 2).real
+
+
+def convergence_condition(e_fd, e_conv):
+    """Normalized RMS change between trapezoidal iterations (channels.py:496)."""
+    num = jnp.sum(jnp.abs(e_fd - e_conv) ** 2)
+    den = jnp.sum(jnp.abs(e_conv) ** 2)
+    return jnp.sqrt(num) / jnp.sqrt(den)
+
+
+# ---------------------------------------------------------------------------
+# Scalar NLSE SSFM (single polarization), fixed step
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("config",))
+def ssfm(e_in, config: SSFMConfig, key=None):
+    """Symmetric split-step Fourier for the scalar NLSE (channels.py:112).
+
+    Fixed step size ``hz``; ``Nspans = floor(Ltotal/Lspan)`` spans of
+    ``Nsteps = floor(Lspan/hz)`` steps, with per-span EDFA/ideal/no
+    amplification. Accepts (N,) or (N, B) input (each column propagates
+    independently — mode batching as in the GPU reference's parallel-power
+    trick, modelsGPU.py:775).
+    """
+    if config.Fs is None:
+        raise ValueError("Simulation sampling frequency (Fs) not provided.")
+    e_in = jnp.asarray(e_in, dtype=jnp.complex64)
+    squeeze = e_in.ndim == 1
+    if squeeze:
+        e_in = e_in[:, None]
+    e = e_in.T  # (B, N): batch leading, time on lanes
+    n = e.shape[-1]
+
+    alpha, beta2 = fiber_coefficients(config.alpha, config.D, config.Fc)
+    gamma_ = config.gamma
+    hz = config.hz
+    n_spans = int(np.floor(config.Ltotal / config.Lspan))
+    n_steps = int(np.floor(config.Lspan / hz))
+
+    w = 2 * jnp.pi * config.Fs * jnp.fft.fftfreq(n)
+    lin_op = jnp.exp(
+        (-(alpha / 2) + 1j * (beta2 / 2) * w**2) * (hz / 2)
+    ).astype(jnp.complex64)
+
+    amp_cfg = EDFAConfig(G=config.alpha * config.Lspan, NF=config.NF,
+                         Fc=config.Fc, Fs=config.Fs)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def step(_, ef):
+        # ef: frequency-domain field (B, N)
+        ef = ef * lin_op
+        et = jnp.fft.ifft(ef, axis=-1)
+        et = et * jnp.exp(1j * gamma_ * (et * jnp.conj(et)) * hz)
+        return jnp.fft.fft(et, axis=-1) * lin_op
+
+    def span(e, span_idx):
+        ef = jnp.fft.fft(e, axis=-1)
+        ef = jax.lax.fori_loop(0, n_steps, step, ef)
+        e = jnp.fft.ifft(ef, axis=-1)
+        if config.amp == "edfa":
+            e = edfa(e, amp_cfg, jax.random.fold_in(key, span_idx))
+        elif config.amp == "ideal":
+            e = e * jnp.exp(alpha / 2 * n_steps * hz)
+        return e, None
+
+    e, _ = jax.lax.scan(span, e, jnp.arange(n_spans))
+    out = e.T
+    return out[:, 0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# Manakov SSFM (dual polarization), adaptive or fixed step
+# ---------------------------------------------------------------------------
+
+
+def _manakov_span(e, lin_arg, span_len, cfg: SSFMConfig, nl_sign=1.0):
+    """Propagate the (2, B, N) field through one span (z while-loop).
+
+    Mirrors the reference step structure (channels.py:387-441): adaptive or
+    fixed step size, symmetric linear half-steps, trapezoidal iteration of the
+    nonlinear phase rotation with convergence check. ``nl_sign=-1`` inverts
+    the nonlinear rotation (digital backpropagation, equalization.py:976,
+    which keeps gamma positive for the step-size rule and flips the operator
+    sign).
+    """
+    gamma_ = cfg.gamma
+    tol = cfg.tol
+    max_iter = cfg.maxIter
+
+    def z_cond(carry):
+        _, z = carry
+        return z < span_len
+
+    def z_body(carry):
+        e, z = carry
+        pch = jnp.sum(jnp.abs(e) ** 2, axis=0)  # (B, N)
+        phi_rot = nlin_phase_rot(e[0], e[1], pch, gamma_)
+
+        if cfg.nlprMethod:
+            hz_cand = cfg.maxNlinPhaseRot / jnp.max(phi_rot)
+            hz_ = jnp.minimum(hz_cand, span_len - z)
+        else:
+            hz_ = jnp.minimum(cfg.hz, span_len - z)
+
+        lin_op = jnp.exp(lin_arg * (hz_ / 2))  # (N,)
+
+        # first linear half-step (both pols + batch in one FFT)
+        e_hd = jnp.fft.ifft(jnp.fft.fft(e, axis=-1) * lin_op, axis=-1)
+
+        # trapezoidal iteration on the nonlinear rotation
+        def it_cond(it_carry):
+            _, _, lim, n_it = it_carry
+            return (n_it < max_iter) & (lim >= tol)
+
+        def it_body(it_carry):
+            _, e_conv, _, n_it = it_carry
+            phi = nlin_phase_rot(e_conv[0], e_conv[1], pch, gamma_)
+            rot = jnp.exp(nl_sign * 1j * phi * hz_).astype(jnp.complex64)
+            e_fd = jnp.fft.ifft(jnp.fft.fft(e_hd * rot, axis=-1) * lin_op, axis=-1)
+            lim = convergence_condition(e_fd, e_conv)
+            return e_fd, e_fd, lim, n_it + 1
+
+        e_fd, _, _, _ = jax.lax.while_loop(
+            it_cond, it_body, (e_hd, e, jnp.inf, 0)
+        )
+        return e_fd, z + hz_
+
+    e, _ = jax.lax.while_loop(z_cond, z_body, (e, jnp.asarray(0.0)))
+    return e
+
+
+@partial(jax.jit, static_argnames=("config", "save_all_spans"))
+def manakov_ssf(e_in, config: SSFMConfig, key=None, save_all_spans=False):
+    """Manakov split-step Fourier propagation (reference channels.py:252).
+
+    Parameters
+    ----------
+    e_in : (N, 2*k) array
+        Dual-polarization field(s); columns alternate x/y polarization for k
+        independently-propagating signals (k > 1 batches WDM channels or
+        launch powers through one solver call, as modelsGPU.py:775 does).
+    config : SSFMConfig
+        Physical/simulation parameters (static; changes trigger recompilation).
+    key : PRNG key for per-span ASE noise.
+    save_all_spans : bool
+        If True, additionally return the field after every span as a
+        (Nspans, N, 2*k) array (reference ``saveSpanN``, channels.py:453-456).
+
+    Returns
+    -------
+    (N, 2*k) output field, or (output, per_span_fields) if save_all_spans.
+    """
+    if config.Fs is None:
+        raise ValueError("Simulation sampling frequency (Fs) not provided.")
+    e_in = jnp.asarray(e_in, dtype=jnp.complex64)
+    n = e_in.shape[0]
+    # (2, B, N): pol axis leading, batch of signals, time on lanes
+    ex = e_in[:, 0::2].T
+    ey = e_in[:, 1::2].T
+    e = jnp.stack([ex, ey])
+
+    alpha, beta2 = fiber_coefficients(config.alpha, config.D, config.Fc)
+    n_spans = int(np.floor(config.Ltotal / config.Lspan))
+    w = 2 * jnp.pi * config.Fs * jnp.fft.fftfreq(n)
+    lin_arg = (-(alpha / 2) + 1j * (beta2 / 2) * w**2).astype(jnp.complex64)
+
+    amp_cfg = EDFAConfig(G=config.alpha * config.Lspan, NF=config.NF,
+                         Fc=config.Fc, Fs=config.Fs)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def span(e, span_idx):
+        e = _manakov_span(e, lin_arg, config.Lspan, config)
+        if config.amp == "edfa":
+            e = edfa(e, amp_cfg, jax.random.fold_in(key, span_idx))
+        elif config.amp == "ideal":
+            e = e * jnp.exp(alpha / 2 * config.Lspan)
+        out = _to_columns(e, n) if save_all_spans else None
+        return e, out
+
+    e, span_fields = jax.lax.scan(span, e, jnp.arange(n_spans))
+    out = _to_columns(e, n)
+    if save_all_spans:
+        return out, span_fields
+    return out
+
+
+def _to_columns(e, n):
+    """(2, B, N) pol-stacked field -> (N, 2*B) interleaved columns."""
+    b = e.shape[1]
+    out = jnp.zeros((n, 2 * b), dtype=e.dtype)
+    out = out.at[:, 0::2].set(e[0].T)
+    out = out.at[:, 1::2].set(e[1].T)
+    return out
+
+
+def awgn(sig, key, config: AWGNConfig = AWGNConfig()):
+    """AWGN channel calibrated to an SNR in the signal bandwidth.
+
+    Parity with reference channels.py:522: noise variance is
+    ``(Fs/B) * sigPow(sig) / SNR_lin``.
+    """
+    sig = jnp.asarray(sig)
+    snr_lin = 10 ** (config.snr / 10)
+    noise_var = sig_pow(sig) / snr_lin
+    var = (config.Fs / config.B) * noise_var
+    if config.complexNoise:
+        noise = gaussian_complex_noise(key, sig.shape, var)
+    else:
+        noise = gaussian_noise(key, sig.shape, var / 2)
+    return sig + noise

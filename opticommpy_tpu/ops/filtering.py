@@ -83,7 +83,11 @@ def _overlap_save_2d(x, h, nfft, freq_domain_filter, filter_len):
     """Overlap-save core on (N, nModes) complex input. Returns (N, nModes)."""
     sig_len = x.shape[0]
     k = filter_len
-    d_delay = (k - 1) // 2
+    # filter group delay: an impulse response built by fftshift(ifft(H)) has
+    # its zero-delay tap at index k//2 (fixes the reference's one-sample
+    # residual delay for even-length frequency-domain filters, noted in its
+    # own tests at test_channels.py:138-140)
+    d_delay = k // 2 if freq_domain_filter else (k - 1) // 2
     block = nfft - k + 1  # valid samples produced per block
     discard = k - 1
 

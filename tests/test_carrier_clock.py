@@ -1,0 +1,127 @@
+"""Tests for carrier phase/frequency recovery and clock recovery."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opticommpy_tpu.comm import modulate_gray
+from opticommpy_tpu.comm.metrics import fast_ber_calc
+from opticommpy_tpu.dsp import (
+    ClockRecoveryConfig,
+    CPRConfig,
+    bps,
+    cpr,
+    ddpll,
+    fourth_power_foe,
+    gardner_clock_recovery,
+    viterbi,
+)
+from opticommpy_tpu.ops import (
+    clock_sampling_interp,
+    fir_filter,
+    gaussian_complex_noise,
+    phase_noise,
+    pnorm,
+    pulse_shape,
+    upsample,
+)
+from opticommpy_tpu.comm.modulation import gray_mapping
+
+
+def _noisy_rotated_qam(key, M=16, n=20000, snr_db=25.0, lw_ts=1e-5):
+    k1, k2, k3 = jax.random.split(key, 3)
+    rng = np.random.default_rng(0)
+    b = int(np.log2(M))
+    bits = rng.integers(0, 2, size=n * b)
+    tx = pnorm(modulate_gray(jnp.asarray(bits), M, "qam"))
+    phi = phase_noise(k2, lw_ts, n, 1.0)  # variance 2*pi*lw_ts per step
+    noise = gaussian_complex_noise(k3, (n,), 10 ** (-snr_db / 10))
+    rx = tx * jnp.exp(1j * phi) + noise
+    return rx, tx, phi
+
+
+def test_bps_tracks_phase_noise():
+    key = jax.random.PRNGKey(0)
+    rx, tx, phi = _noisy_rotated_qam(key, lw_ts=2e-6)
+    const = pnorm(jnp.asarray(gray_mapping(16, "qam")))
+    est = bps(rx, 17, const, 64)
+    # BPS estimates the *compensating* phase (mod pi/2)
+    err = np.angle(np.exp(1j * 4 * (np.asarray(est) + np.asarray(phi)))) / 4
+    assert np.std(err[200:-200]) < 0.05
+
+
+def test_cpr_bps_improves_ber():
+    key = jax.random.PRNGKey(1)
+    rx, tx, _ = _noisy_rotated_qam(key, snr_db=22.0, lw_ts=2e-6)
+    cfg = CPRConfig(alg="bps", M=16, N=35, B=64, runFOE=False)
+    rec = cpr(rx, cfg)
+    # phase-noise-corrupted BER should be terrible; recovered should be clean
+    ber_raw = float(fast_ber_calc(rx, tx, 16, "qam")[0][0])
+    # account for the pi/2-ambiguity of blind CPR: try all 4 rotations
+    bers = []
+    for k in range(4):
+        bers.append(float(fast_ber_calc(rec * 1j**k, tx, 16, "qam")[0][0]))
+    assert min(bers) < 0.01
+    assert min(bers) < ber_raw
+
+
+def test_ddpll_tracks_slow_phase():
+    key = jax.random.PRNGKey(2)
+    rx, tx, phi = _noisy_rotated_qam(key, M=4, snr_db=25.0, lw_ts=1e-7)
+    const = pnorm(jnp.asarray(gray_mapping(4, "qam")))
+    ts = 1 / 32e9
+    est = ddpll(rx, ts, 0.1, 1 / (2 * np.pi * 10e6), 1 / (2 * np.pi * 10e6),
+                const, symb_tx=tx[:, None] if tx.ndim == 1 else tx)
+    est = np.asarray(est).reshape(-1)
+    err = np.angle(np.exp(1j * 4 * (est + np.asarray(phi)))) / 4
+    assert np.std(err[2000:]) < 0.08
+
+
+def test_viterbi_recovers_constant_offset():
+    key = jax.random.PRNGKey(3)
+    rng = np.random.default_rng(4)
+    n = 5000
+    tx = pnorm(modulate_gray(jnp.asarray(rng.integers(0, 2, size=2 * n)), 4, "qam"))
+    phi0 = 0.12
+    rx = tx * np.exp(1j * phi0)
+    est = viterbi(rx[:, None], 35, 4)
+    # Viterbi&Viterbi estimates the compensating phase: est ~ -phi0 (mod pi/2)
+    err = np.angle(np.exp(1j * 4 * (np.asarray(est)[100:-100, 0] + phi0))) / 4
+    assert np.abs(np.mean(err)) < 0.02
+
+
+def test_fourth_power_foe_estimates_offset():
+    key = jax.random.PRNGKey(4)
+    rng = np.random.default_rng(5)
+    n = 2**14
+    rs = 32e9
+    tx = pnorm(modulate_gray(jnp.asarray(rng.integers(0, 2, size=4 * n)), 16, "qam"))
+    fo_true = 200e6
+    t = np.arange(n) / rs
+    rx = tx * jnp.asarray(np.exp(1j * 2 * np.pi * fo_true * t))
+    out, fo_est = fourth_power_foe(rx, rs, 4)
+    assert abs(float(fo_est) - fo_true) < rs / n  # within one FFT bin
+
+
+def test_gardner_clock_recovery_fixes_sampling_offset():
+    key = jax.random.PRNGKey(5)
+    rng = np.random.default_rng(6)
+    sps = 2
+    n_sym = 8000
+    symb = pnorm(modulate_gray(jnp.asarray(rng.integers(0, 2, size=2 * n_sym)), 4, "qam"))
+    pulse = jnp.asarray(pulse_shape("rrc", sps, 512, 0.2))
+    sig = fir_filter(pulse, upsample(symb, sps))
+    # introduce a 200-ppm clock offset by resampling
+    sig_off = clock_sampling_interp(sig, 1.0, 1.0 / (1 + 200e-6))
+    rec, timing = gardner_clock_recovery(
+        sig_off, ClockRecoveryConfig(kp=2e-3, ki=1e-5, isNyquist=False),
+        return_timing=True,
+    )
+    # the NCO timing should ramp (tracking the ppm offset), and the recovered
+    # signal should have samples at consistent symbol phases: even samples
+    # carry the symbols
+    rec = np.asarray(rec)
+    sampled = rec[2000:2000 + 4000 * sps:sps]
+    # decision-point variance concentrated near constellation radii
+    radii = np.abs(sampled) / np.mean(np.abs(sampled))
+    assert np.std(radii) < 0.25
