@@ -301,6 +301,11 @@ def mimo_adapt_equalizer(sig, config: MIMOEqualizerConfig = None, symb_ref=None,
 
     total_symbols = int(np.fix((sig.shape[0] + 2 * l_pad - n_taps) / sps + 1))
     stage_lengths = config.L if config.L is not None else (total_symbols,)
+    if any(l <= 0 for l in stage_lengths) or sum(stage_lengths) > total_symbols:
+        raise ValueError(
+            f"invalid stage lengths {tuple(stage_lengths)}: must be positive "
+            f"and sum to at most {total_symbols} output symbols"
+        )
     algs = config.alg
     mus = config.mu
     if len(mus) == 1 and len(algs) > 1:
