@@ -155,6 +155,42 @@ def ssfm(e_in, config: SSFMConfig, key=None):
 # ---------------------------------------------------------------------------
 
 
+def _manakov_step(e, pch, lin_op, hz_, cfg: SSFMConfig, nl_sign):
+    """One symmetric split step with trapezoidal nonlinear correction.
+
+    Shared by the adaptive (while_loop) and static (scan) paths. Returns the
+    stepped field. ``pch`` is the start-of-step power (trapezoid anchor).
+    """
+    gamma_ = cfg.gamma
+    e_hd = jnp.fft.ifft(jnp.fft.fft(e, axis=-1) * lin_op, axis=-1)
+
+    def one_iter(e_conv):
+        phi = nlin_phase_rot(e_conv[0], e_conv[1], pch, gamma_)
+        rot = jnp.exp(nl_sign * 1j * phi * hz_).astype(jnp.complex64)
+        return jnp.fft.ifft(jnp.fft.fft(e_hd * rot, axis=-1) * lin_op, axis=-1)
+
+    if cfg.trapIters > 0:
+        # fixed iteration count: static control flow (unrolled at trace time)
+        e_fd = e
+        for _ in range(cfg.trapIters):
+            e_fd = one_iter(e_fd)
+        return e_fd
+
+    def it_cond(it_carry):
+        _, _, lim, n_it = it_carry
+        return (n_it < cfg.maxIter) & (lim >= cfg.tol)
+
+    def it_body(it_carry):
+        _, e_conv, _, n_it = it_carry
+        e_fd = one_iter(e_conv)
+        lim = convergence_condition(e_fd, e_conv)
+        return e_fd, e_fd, lim, n_it + 1
+
+    lim0 = jnp.real(e[0, 0, 0]) * 0.0 + jnp.inf
+    e_fd, _, _, _ = jax.lax.while_loop(it_cond, it_body, (e_hd, e, lim0, 0))
+    return e_fd
+
+
 def _manakov_span(e, lin_arg, span_len, cfg: SSFMConfig, nl_sign=1.0):
     """Propagate the (2, B, N) field through one span (z while-loop).
 
@@ -165,10 +201,25 @@ def _manakov_span(e, lin_arg, span_len, cfg: SSFMConfig, nl_sign=1.0):
     which keeps gamma positive for the step-size rule and flips the operator
     sign).
     """
-    gamma_ = cfg.gamma
-    tol = cfg.tol
-    max_iter = cfg.maxIter
+    if not cfg.nlprMethod:
+        # static path: the step schedule is known at trace time -> lax.scan
+        # over per-step sizes (uniform hz + one partial final step). With
+        # trapIters > 0 this path contains no while_loop at all.
+        n_full = int(np.floor(span_len / cfg.hz))
+        hz_last = span_len - n_full * cfg.hz
+        sizes = [cfg.hz] * n_full + ([hz_last] if hz_last > 1e-9 else [])
+        hz_arr = jnp.asarray(np.asarray(sizes, dtype=np.float32))
+        lin_ops = jnp.exp(lin_arg[None, :] * (hz_arr[:, None] / 2))
 
+        def step(e, inp):
+            hz_, lin_op = inp
+            pch = jnp.sum(jnp.abs(e) ** 2, axis=0)
+            return _manakov_step(e, pch, lin_op, hz_, cfg, nl_sign), None
+
+        e, _ = jax.lax.scan(step, e, (hz_arr, lin_ops))
+        return e
+
+    # adaptive path: data-dependent step size (channels.py:392-397) -> while
     def z_cond(carry):
         _, z = carry
         return z < span_len
@@ -176,38 +227,17 @@ def _manakov_span(e, lin_arg, span_len, cfg: SSFMConfig, nl_sign=1.0):
     def z_body(carry):
         e, z = carry
         pch = jnp.sum(jnp.abs(e) ** 2, axis=0)  # (B, N)
-        phi_rot = nlin_phase_rot(e[0], e[1], pch, gamma_)
-
-        if cfg.nlprMethod:
-            hz_cand = cfg.maxNlinPhaseRot / jnp.max(phi_rot)
-            hz_ = jnp.minimum(hz_cand, span_len - z)
-        else:
-            hz_ = jnp.minimum(cfg.hz, span_len - z)
-
-        lin_op = jnp.exp(lin_arg * (hz_ / 2))  # (N,)
-
-        # first linear half-step (both pols + batch in one FFT)
-        e_hd = jnp.fft.ifft(jnp.fft.fft(e, axis=-1) * lin_op, axis=-1)
-
-        # trapezoidal iteration on the nonlinear rotation
-        def it_cond(it_carry):
-            _, _, lim, n_it = it_carry
-            return (n_it < max_iter) & (lim >= tol)
-
-        def it_body(it_carry):
-            _, e_conv, _, n_it = it_carry
-            phi = nlin_phase_rot(e_conv[0], e_conv[1], pch, gamma_)
-            rot = jnp.exp(nl_sign * 1j * phi * hz_).astype(jnp.complex64)
-            e_fd = jnp.fft.ifft(jnp.fft.fft(e_hd * rot, axis=-1) * lin_op, axis=-1)
-            lim = convergence_condition(e_fd, e_conv)
-            return e_fd, e_fd, lim, n_it + 1
-
-        e_fd, _, _, _ = jax.lax.while_loop(
-            it_cond, it_body, (e_hd, e, jnp.inf, 0)
-        )
+        phi_rot = nlin_phase_rot(e[0], e[1], pch, cfg.gamma)
+        hz_cand = cfg.maxNlinPhaseRot / jnp.max(phi_rot)
+        hz_ = jnp.minimum(hz_cand, span_len - z)
+        lin_op = jnp.exp(lin_arg * (hz_ / 2))
+        e_fd = _manakov_step(e, pch, lin_op, hz_, cfg, nl_sign)
         return e_fd, z + hz_
 
-    e, _ = jax.lax.while_loop(z_cond, z_body, (e, jnp.asarray(0.0)))
+    # initial z derived from the field so its device-varying type matches the
+    # loop-carried value under shard_map
+    z0 = jnp.real(e[0, 0, 0]) * 0.0
+    e, _ = jax.lax.while_loop(z_cond, z_body, (e, z0))
     return e
 
 

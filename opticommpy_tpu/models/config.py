@@ -169,6 +169,11 @@ class SSFMConfig:
     tol: float = 1e-5
     nlprMethod: bool = True
     maxNlinPhaseRot: float = 2e-2
+    # trapIters > 0 fixes the trapezoidal-correction count (no convergence
+    # check): with nlprMethod=False this gives a fully static-control-flow
+    # solver (scan only — the fastest-compiling/fastest-running TPU path).
+    # trapIters = 0 iterates to `tol` like the reference (while_loop).
+    trapIters: int = 0
 
 
 @dataclass(frozen=True)

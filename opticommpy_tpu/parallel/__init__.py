@@ -1,1 +1,18 @@
-"""parallel subpackage (populated incrementally)."""
+"""Multi-chip scaling: device meshes, data-parallel SSFM, time-sharded filtering.
+
+See SURVEY.md §2.3 — the reference has no distributed layer; this package is
+its TPU-native replacement (jax.sharding + shard_map + ICI collectives).
+"""
+
+from opticommpy_tpu.parallel.mesh import (  # noqa: F401
+    NamedSharding,
+    P,
+    data_sharding,
+    make_mesh,
+)
+from opticommpy_tpu.parallel.sharded import (  # noqa: F401
+    manakov_ssf_dp,
+    shard_batch,
+    sharded_edc,
+    sharded_fir,
+)
