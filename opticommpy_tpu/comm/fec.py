@@ -1,0 +1,518 @@
+"""Forward error correction: LDPC encode/decode, Hamming codes, ALIST I/O.
+
+TPU-native counterpart of reference ``optic/comm/fec.py``:
+
+- GF(2) preprocessing (Gaussian elimination, triangularization, inversion,
+  H->G conversion) stays host-side NumPy — it runs once per code, offline
+  (reference fec.py:43,102,841,893).
+- **Encoding** is batched on-device: GF(2) matrix-vector products become
+  padded-gather XOR reductions over the sparse row structure (fec.py:302),
+  and the DVB-S2 recursive parity accumulation (fec.py:254,295-297) becomes
+  a prefix-XOR = ``cumsum mod 2`` — a parallel scan instead of a sequential
+  bit recurrence.
+- **Decoding** (sum-product / min-sum belief propagation, fec.py:347,505)
+  runs on a *padded edge-array* layout: messages live on a (m, dc_max) check-
+  major grid with a validity mask (replacing the reference's ragged
+  ``numba.typed.List`` CSR walk), check updates are row-wise masked
+  reductions (tanh-product or min1/min2), and variable updates use one
+  ``segment_sum`` over edges. Codewords batch on a trailing axis; early
+  stopping is realized by freezing converged codewords under a fixed
+  iteration scan (bit-identical results to per-codeword early exit).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "LDPCConfig",
+    "gauss_elim_gf2",
+    "inverse_matrix_gf2",
+    "triangularize_gf2",
+    "par2gen",
+    "triang_p1p2",
+    "ldpc_graph",
+    "encode_ldpc",
+    "decode_ldpc",
+    "read_alist",
+    "write_alist",
+    "parse_alist",
+    "hamming_parity_check_matrix",
+    "encode_hamming",
+    "decode_hamming",
+    "gallager_ldpc",
+]
+
+
+# ---------------------------------------------------------------------------
+# GF(2) linear algebra (host-side, offline preprocessing)
+# ---------------------------------------------------------------------------
+
+
+def gauss_elim_gf2(M):
+    """Row echelon form over GF(2) (reference fec.py:102), vectorized numpy."""
+    M = np.array(M, dtype=np.uint8) % 2
+    rows, cols = M.shape
+    lead = 0
+    for r in range(rows):
+        if lead >= cols:
+            break
+        pivot_rows = np.nonzero(M[r:, lead])[0]
+        while pivot_rows.size == 0:
+            lead += 1
+            if lead == cols:
+                return M
+            pivot_rows = np.nonzero(M[r:, lead])[0]
+        i = r + pivot_rows[0]
+        if i != r:
+            M[[r, i]] = M[[i, r]]
+        # eliminate the lead column everywhere else (XOR rows at once)
+        mask = M[:, lead].copy()
+        mask[r] = 0
+        M[mask == 1] ^= M[r]
+        lead += 1
+    return M
+
+
+def inverse_matrix_gf2(A):
+    """Inverse of a square binary matrix over GF(2) (reference fec.py:841).
+
+    Returns (Ainv, success).
+    """
+    A = np.array(A, dtype=np.uint8) % 2
+    n = A.shape[0]
+    aug = np.concatenate([A, np.eye(n, dtype=np.uint8)], axis=1)
+    for i in range(n):
+        pivots = np.nonzero(aug[i:, i])[0]
+        if pivots.size == 0:
+            return np.eye(n, dtype=np.uint8), False
+        j = i + pivots[0]
+        if j != i:
+            aug[[i, j]] = aug[[j, i]]
+        mask = aug[:, i].copy()
+        mask[i] = 0
+        aug[mask == 1] ^= aug[i]
+    return aug[:, n:], True
+
+
+def triangularize_gf2(H):
+    """Lower-triangularize H with row/column permutations (reference fec.py:893).
+
+    Returns (triangH, rowPerm, colPerm).
+    """
+    H = np.array(H, dtype=np.uint8) % 2
+    m, n = H.shape
+    row_perm = np.arange(m)
+    col_perm = np.arange(n)
+    T = H.copy()
+    for i in range(m):
+        sub = T[i:, i:]
+        nz = np.argwhere(sub == 1)
+        if nz.size == 0:
+            continue
+        r, c = nz[0]
+        r += i
+        c += i
+        if r != i:
+            T[[i, r]] = T[[r, i]]
+            row_perm[[i, r]] = row_perm[[r, i]]
+        if c != i:
+            T[:, [i, c]] = T[:, [c, i]]
+            col_perm[[i, c]] = col_perm[[c, i]]
+        below = np.nonzero(T[i + 1 :, i])[0] + i + 1
+        T[below] ^= T[i]
+    return T, row_perm, col_perm
+
+
+def par2gen(H):
+    """Systematic generator matrix G = [I_k | P] from H (reference fec.py:43).
+
+    Returns (G, colSwaps, Hm) with Hm = [P^T | I_r] the column-permuted,
+    row-reduced parity-check matrix matching G (so G @ Hm^T = 0 over GF(2)).
+    Unlike the reference (which assumes full-rank H and identifies the
+    identity part by column sums), pivot columns are taken from the reduced
+    row echelon form, so rank-deficient matrices are handled (k = n - rank).
+    """
+    H = _dense(H)
+    n = H.shape[1]
+    E = gauss_elim_gf2(H)  # Gauss-Jordan: reduced row echelon form
+    nonzero_rows = np.nonzero(E.any(axis=1))[0]
+    E = E[nonzero_rows]
+    r = E.shape[0]  # rank
+    k = n - r
+    pivot_cols = np.array([np.nonzero(E[i])[0][0] for i in range(r)])
+    nonpivot_cols = np.setdiff1d(np.arange(n), pivot_cols)
+    Em = np.concatenate([E[:, nonpivot_cols], E[:, pivot_cols]], axis=1)
+    col_swaps = np.concatenate([nonpivot_cols, pivot_cols])
+    G = np.concatenate([np.eye(k, dtype=np.uint8), Em[:, :k].T], axis=1)
+    # return the column-permuted ORIGINAL H (sparse), not the eliminated form:
+    # BP decoding needs the low-degree graph (reference fec.py:100 does the
+    # same); G is orthogonal to it since rowspace(E) = rowspace(H)
+    return G, col_swaps, H[:, col_swaps]
+
+
+def triang_p1p2(H):
+    """Richardson-Urbanke triangular encoder matrices (reference fec.py:955).
+
+    Returns (P1, P2, Hm) such that parities are p1 = P1@u, p2 = P2@u over
+    GF(2), or (None, None, None) if the required submatrices are singular.
+    """
+    H = _dense(H)
+    T, _, col_swaps = triangularize_gf2(H)
+    m, n = T.shape
+    k = n - m
+    idx = np.where(T[:, -1] == 1)[0]
+    g = m - idx.min() - 1
+    E = T[m - g :, n - (m - g) :]
+    Tm = T[: m - g, n - (m - g) :]
+    A = T[: m - g, :k]
+    B = T[: m - g, k : k + g]
+    C = T[m - g :, :k]
+    D = T[m - g :, k : k + g]
+    T_inv, ok = inverse_matrix_gf2(Tm)
+    if not ok:
+        return None, None, None
+    X = (E @ T_inv) % 2
+    C_t = (X @ A + C) % 2
+    D_t = (X @ B + D) % 2
+    D_t_inv, ok = inverse_matrix_gf2(D_t)
+    if not ok:
+        return None, None, None
+    P1 = (D_t_inv @ C_t) % 2
+    P2 = (T_inv @ ((A + (B @ P1) % 2) % 2)) % 2
+    return P1.astype(np.uint8), P2.astype(np.uint8), H[:, col_swaps]
+
+
+def _dense(H):
+    if hasattr(H, "todense"):
+        return np.asarray(H.todense(), dtype=np.uint8)
+    return np.asarray(H, dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# ALIST I/O (reference fec.py:761,811,1100)
+# ---------------------------------------------------------------------------
+
+
+def read_alist(filename):
+    """Read an ALIST file into a dense (m, n) uint8 parity-check matrix."""
+    with open(filename) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    n, m = map(int, lines[0].split())
+    H = np.zeros((m, n), dtype=np.uint8)
+    for j, line in enumerate(lines[4 : 4 + n]):
+        for entry in map(int, line.split()):
+            if entry > 0:
+                H[entry - 1, j] = 1
+    return H
+
+
+def write_alist(H, filename):
+    """Save a binary parity-check matrix to ALIST format."""
+    H = _dense(H)
+    m, n = H.shape
+    var_deg = H.sum(axis=0)
+    chk_deg = H.sum(axis=1)
+    max_col = int(var_deg.max())
+    max_row = int(chk_deg.max())
+    with open(filename, "w") as f:
+        f.write(f"{n} {m}\n{max_col} {max_row}\n")
+        f.write(" ".join(map(str, var_deg)) + "\n")
+        f.write(" ".join(map(str, chk_deg)) + "\n")
+        for j in range(n):
+            conn = list(np.nonzero(H[:, j])[0] + 1) + [0] * (max_col - var_deg[j])
+            f.write(" ".join(map(str, conn)) + "\n")
+        for i in range(m):
+            conn = list(np.nonzero(H[i])[0] + 1) + [0] * (max_row - chk_deg[i])
+            f.write(" ".join(map(str, conn)) + "\n")
+
+
+def parse_alist(path):
+    """Basic parameters of an ALIST file (reference fec.py:1100)."""
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    n, m = map(int, lines[0].split())
+    var_rows = [list(map(int, lines[i].split())) for i in range(4, 4 + n)]
+    chk_rows = [list(map(int, lines[i].split())) for i in range(4 + n, 4 + n + m)]
+    col_w = [sum(v > 0 for v in r) for r in var_rows]
+    row_w = [sum(v > 0 for v in r) for r in chk_rows]
+    return {
+        "n": n,
+        "m": m,
+        "rate": (n - m) / n if n else 0,
+        "max_col_w": max(col_w),
+        "max_row_w": max(row_w),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Code constructions
+# ---------------------------------------------------------------------------
+
+
+def hamming_parity_check_matrix(m, extended=False):
+    """Hamming (or extended Hamming) parity-check matrix (reference fec.py:1180)."""
+    if m < 1:
+        raise ValueError("m must be a positive integer.")
+    n_std = 2**m - 1
+    cols = np.arange(1, n_std + 1)
+    # column j is the binary representation of j, LSB at top
+    H_std = ((cols[None, :] >> np.arange(m)[:, None]) & 1).astype(np.uint8)
+    if not extended:
+        return H_std
+    H_ext = np.zeros((m + 1, n_std + 1), dtype=np.uint8)
+    H_ext[:m, :n_std] = H_std
+    H_ext[m, :] = 1
+    return H_ext
+
+
+def gallager_ldpc(n, dv, dc, seed=0):
+    """Random regular (dv, dc) LDPC parity-check matrix (Gallager ensemble).
+
+    A compact built-in construction for demos/tests; standard code matrices
+    (DVB-S2, IEEE 802.11n, AR4JA) load from ALIST files via
+    :func:`read_alist` exactly as the reference's shipped assets do.
+    """
+    if (n * dv) % dc != 0:
+        raise ValueError("n*dv must be divisible by dc")
+    m = n * dv // dc
+    rng = np.random.default_rng(seed)
+    rows_per_block = m // dv
+    if rows_per_block * dc != n:
+        raise ValueError("inconsistent (n, dv, dc)")
+    H = np.zeros((m, n), dtype=np.uint8)
+    for b in range(dv):
+        perm = rng.permutation(n)
+        for r in range(rows_per_block):
+            H[b * rows_per_block + r, perm[r * dc : (r + 1) * dc]] = 1
+    return H
+
+
+# ---------------------------------------------------------------------------
+# Encoding (on-device, batched over codewords)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class LDPCConfig:
+    """LDPC code configuration (reference fec.py:153 semantics).
+
+    ``mode`` selects the encoder: 'DVBS2' (sparse A + prefix-XOR recursion),
+    'triang' (Richardson-Urbanke P1/P2), or 'G' (systematic generator).
+    """
+
+    mode: str = "DVBS2"
+    maxIter: int = 25
+    alg: str = "SPA"  # 'SPA' | 'MSA'
+    clipLLR: float = 200.0
+
+
+def _sparse_rows(M, pad_to=None):
+    """Row-sparse representation: (indices (m, dmax), mask (m, dmax))."""
+    M = _dense(M)
+    m, n = M.shape
+    deg = M.sum(axis=1)
+    dmax = int(deg.max()) if pad_to is None else pad_to
+    idx = np.zeros((m, dmax), dtype=np.int32)
+    mask = np.zeros((m, dmax), dtype=bool)
+    for i in range(m):
+        nz = np.nonzero(M[i])[0]
+        idx[i, : len(nz)] = nz
+        mask[i, : len(nz)] = True
+    return idx, mask
+
+
+@partial(jax.jit, static_argnames=())
+def _gf2_matvec_sparse(idx, mask, bits):
+    """XOR of bits gathered along sparse rows: (m, dmax) x (n, N) -> (m, N)."""
+    gathered = bits[idx]  # (m, dmax, N)
+    gathered = jnp.where(mask[..., None], gathered, 0)
+    return jnp.sum(gathered, axis=1) % 2
+
+
+def encode_ldpc(bits, H=None, config: LDPCConfig = LDPCConfig(), G=None,
+                P1=None, P2=None):
+    """Encode (k, N) bit columns into (n, N) codewords (reference fec.py:153).
+
+    - mode 'DVBS2': parity = prefix-XOR of A@u where A = H[:, :k]
+      (the reference's sequential recursion fec.py:295-297 becomes
+      ``cumsum mod 2`` — a parallel scan).
+    - mode 'triang': codeword = [u, P1@u, P2@u].
+    - mode 'G': codeword = G^T u (systematic).
+    """
+    bits = jnp.asarray(bits).astype(jnp.int32)
+    if config.mode == "DVBS2":
+        H = _dense(H)
+        k = H.shape[1] - H.shape[0]
+        idx, mask = _sparse_rows(H[:, :k])
+        parity = _gf2_matvec_sparse(jnp.asarray(idx), jnp.asarray(mask), bits)
+        parity = jnp.cumsum(parity, axis=0) % 2  # recursive accumulation
+        return jnp.concatenate([bits, parity], axis=0).astype(jnp.int8)
+    elif config.mode == "triang":
+        if P1 is None or P2 is None:
+            P1, P2, _ = triang_p1p2(H)
+            if P1 is None:
+                raise ValueError("H cannot be triangularized; use mode='G'.")
+        i1, m1 = _sparse_rows(P1)
+        i2, m2 = _sparse_rows(P2)
+        p1 = _gf2_matvec_sparse(jnp.asarray(i1), jnp.asarray(m1), bits)
+        p2 = _gf2_matvec_sparse(jnp.asarray(i2), jnp.asarray(m2), bits)
+        return jnp.concatenate([bits, p1, p2], axis=0).astype(jnp.int8)
+    elif config.mode == "G":
+        if G is None:
+            G, _, _ = par2gen(H)
+        G = _dense(G)
+        k = G.shape[0]
+        idx, mask = _sparse_rows(G[:, k:].T)  # parity part rows
+        parity = _gf2_matvec_sparse(jnp.asarray(idx), jnp.asarray(mask), bits)
+        return jnp.concatenate([bits, parity], axis=0).astype(jnp.int8)
+    raise ValueError(f"Unsupported mode: {config.mode}")
+
+
+def encode_hamming(bits, m=3, extended=False):
+    """Hamming encoding (reference fec.py:1257). Returns (codewords, Hm)."""
+    H = hamming_parity_check_matrix(m, extended)
+    G, _, Hm = par2gen(H)
+    if bits.shape[0] != G.shape[0]:
+        raise ValueError(
+            f"Input bits have {bits.shape[0]} rows, expected {G.shape[0]}."
+        )
+    cw = encode_ldpc(bits, H=Hm, config=LDPCConfig(mode="G"), G=G)
+    return cw, Hm
+
+
+# ---------------------------------------------------------------------------
+# Decoding: belief propagation on padded edge arrays
+# ---------------------------------------------------------------------------
+
+
+def ldpc_graph(H):
+    """Precompute the padded edge-array graph of H for BP decoding.
+
+    Returns a dict of numpy arrays:
+    - cn_idx (m, dc_max): variable index of each check-incident edge
+    - cn_mask (m, dc_max): edge validity
+    - edge_var (E,): variable index per edge (row-major over cn grid)
+    - n, m, dc_max
+    """
+    H = _dense(H)
+    m, n = H.shape
+    cn_idx, cn_mask = _sparse_rows(H)
+    edge_var = cn_idx.reshape(-1)
+    return {
+        "cn_idx": cn_idx,
+        "cn_mask": cn_mask,
+        "edge_var": edge_var,
+        "n": n,
+        "m": m,
+        "dc_max": cn_idx.shape[1],
+    }
+
+
+def _bp_decode(llr, cn_idx, cn_mask, edge_var, n, max_iter, alg):
+    """BP decode one codeword. llr: (n,). Returns (final_llr, n_iters, fail)."""
+    m, dc = cn_idx.shape
+    maskf = cn_mask.astype(llr.dtype)
+
+    def check_update_spa(msg_vc):
+        t = jnp.tanh(msg_vc / 2.0)
+        t = jnp.where(cn_mask, t, 1.0)
+        # leave-one-out product per row, O(dc^2) masked (reference fec.py:443)
+        eye = jnp.eye(dc, dtype=bool)
+        t_excl = jnp.where(eye[None, :, :], 1.0, t[:, None, :])  # (m, dc, dc)
+        prod = jnp.prod(t_excl, axis=2)
+        prod = jnp.clip(prod, -0.999999, 0.999999)
+        return jnp.where(cn_mask, 2.0 * jnp.arctanh(prod), 0.0)
+
+    def check_update_msa(msg_vc):
+        mag = jnp.where(cn_mask, jnp.abs(msg_vc), jnp.inf)
+        sgn = jnp.where(msg_vc >= 0, 1.0, -1.0)
+        sgn = jnp.where(cn_mask, sgn, 1.0)
+        sign_prod = jnp.prod(sgn, axis=1, keepdims=True)
+        min1 = jnp.min(mag, axis=1, keepdims=True)
+        i1 = jnp.argmin(mag, axis=1)
+        mag2 = mag.at[jnp.arange(m), i1].set(jnp.inf)
+        min2 = jnp.min(mag2, axis=1, keepdims=True)
+        is_min1 = jnp.arange(dc)[None, :] == i1[:, None]
+        out_mag = jnp.where(is_min1, min2, min1)
+        out_sgn = sign_prod * sgn  # leave-one-out sign (sgn in {-1, 1})
+        return jnp.where(cn_mask, out_sgn * out_mag, 0.0)
+
+    check_update = check_update_spa if alg == "SPA" else check_update_msa
+
+    def iteration(carry, _):
+        msg_vc, done, final_llr, n_iters = carry
+        msg_cv = check_update(msg_vc)
+        # variable update: total per-variable sum of incoming messages
+        sums = jax.ops.segment_sum(
+            (msg_cv * maskf).reshape(-1), edge_var, num_segments=n
+        )
+        total = llr + sums  # (n,)
+        new_vc = total[cn_idx] - msg_cv
+        new_vc = jnp.where(cn_mask, new_vc, 0.0)
+        # parity check on hard decisions
+        bits = (total < 0).astype(jnp.int32)
+        par = jnp.sum(jnp.where(cn_mask, bits[cn_idx], 0), axis=1) % 2
+        ok = jnp.all(par == 0)
+        # freeze once converged (matches the reference's early exit)
+        final_llr = jnp.where(done, final_llr, total)
+        msg_vc = jnp.where(done, msg_vc, new_vc)
+        n_iters = jnp.where(done, n_iters, n_iters + 1)
+        done = done | ok
+        return (msg_vc, done, final_llr, n_iters), None
+
+    msg0 = jnp.where(cn_mask, llr[cn_idx], 0.0)
+    carry0 = (msg0, jnp.asarray(False), llr, jnp.asarray(0))
+    (msg_vc, done, final_llr, n_iters), _ = jax.lax.scan(
+        iteration, carry0, None, length=max_iter
+    )
+    return final_llr, n_iters, ~done
+
+
+@partial(jax.jit, static_argnames=("n", "max_iter", "alg"))
+def _bp_decode_batch(llrs, cn_idx, cn_mask, edge_var, n, max_iter, alg):
+    return jax.vmap(
+        lambda l: _bp_decode(l, cn_idx, cn_mask, edge_var, n, max_iter, alg),
+        in_axes=1,
+        out_axes=(1, 0, 0),
+    )(llrs)
+
+
+def decode_ldpc(llrs, H=None, config: LDPCConfig = LDPCConfig(), graph=None):
+    """Decode (n, N) LLR columns with belief propagation (reference fec.py:684).
+
+    Returns (decodedBits (n, N) int8, outputLLRs (n, N), frameErrors (N,)).
+    Punctured inputs (fewer rows than n) are zero-padded like the reference.
+    """
+    if graph is None:
+        graph = ldpc_graph(H)
+    n = graph["n"]
+    llrs = jnp.clip(jnp.asarray(llrs, dtype=jnp.float32), -config.clipLLR,
+                    config.clipLLR)
+    n_in = llrs.shape[0]
+    if n_in < n:
+        llrs = jnp.pad(llrs, ((0, n - n_in), (0, 0)))
+
+    out_llr, n_iters, fail = _bp_decode_batch(
+        llrs,
+        jnp.asarray(graph["cn_idx"]),
+        jnp.asarray(graph["cn_mask"]),
+        jnp.asarray(graph["edge_var"]),
+        n,
+        int(config.maxIter),
+        config.alg,
+    )
+    if n_in < n:
+        out_llr = out_llr[:n_in]
+    decoded = (out_llr < 0).astype(jnp.int8)
+    return decoded, out_llr, fail.astype(jnp.int8)
+
+
+def decode_hamming(llrs, m=3, extended=False, max_iter=25):
+    """Soft-decision Hamming decoding via BP on the Hamming graph."""
+    H = hamming_parity_check_matrix(m, extended)
+    _, _, Hm = par2gen(H)
+    return decode_ldpc(llrs, H=Hm, config=LDPCConfig(maxIter=max_iter))

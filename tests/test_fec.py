@@ -1,0 +1,189 @@
+"""Tests for FEC: GF(2) algebra, encoders, BP decoders, Hamming, ALIST.
+
+The reference has no FEC tests at all (SURVEY.md §4 coverage gaps) — these
+close that gap.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opticommpy_tpu.comm.fec import (
+    LDPCConfig,
+    decode_hamming,
+    decode_ldpc,
+    encode_hamming,
+    encode_ldpc,
+    gallager_ldpc,
+    gauss_elim_gf2,
+    hamming_parity_check_matrix,
+    inverse_matrix_gf2,
+    ldpc_graph,
+    par2gen,
+    parse_alist,
+    read_alist,
+    triang_p1p2,
+    write_alist,
+)
+
+REF_ALIST = "/root/reference/optic/comm/ALIST/LDPC_IEEE_802.11nD2_648b_R12.txt"
+
+
+def _check_parity(H, cw):
+    return np.all((np.asarray(H, dtype=np.int64) @ np.asarray(cw, dtype=np.int64)) % 2 == 0)
+
+
+def test_gauss_elim_idempotent_and_gf2():
+    rng = np.random.default_rng(0)
+    M = rng.integers(0, 2, size=(20, 40)).astype(np.uint8)
+    E = gauss_elim_gf2(M)
+    assert set(np.unique(E)) <= {0, 1}
+    # row space preserved: every row of E is a GF(2) combination of M's rows
+    # (check rank equality via both directions of elimination)
+    assert np.array_equal(gauss_elim_gf2(E), E)
+
+
+def test_inverse_matrix_gf2():
+    rng = np.random.default_rng(1)
+    while True:
+        A = rng.integers(0, 2, size=(12, 12)).astype(np.uint8)
+        Ainv, ok = inverse_matrix_gf2(A)
+        if ok:
+            break
+    assert np.array_equal((A @ Ainv) % 2, np.eye(12, dtype=np.uint8))
+
+
+def test_par2gen_generator_orthogonal_to_H():
+    H = gallager_ldpc(48, 3, 6, seed=2)
+    G, col_swaps, Hm = par2gen(H)
+    # G @ Hm^T = 0 over GF(2)
+    prod = (G.astype(np.int64) @ Hm.T.astype(np.int64)) % 2
+    assert np.all(prod == 0)
+
+
+def test_encode_ldpc_generator_mode_valid_codewords():
+    H = gallager_ldpc(48, 3, 6, seed=3)
+    G, _, Hm = par2gen(H)
+    k = G.shape[0]
+    rng = np.random.default_rng(4)
+    bits = rng.integers(0, 2, size=(k, 5))
+    cw = np.asarray(encode_ldpc(jnp.asarray(bits), H=Hm,
+                                config=LDPCConfig(mode="G"), G=G))
+    assert cw.shape == (48, 5)
+    assert _check_parity(Hm, cw)
+    assert np.array_equal(cw[:k], bits)  # systematic
+
+
+def test_encode_dvbs2_mode_prefix_xor():
+    """DVB-S2 staircase: H = [A | L] with L the dual-diagonal parity part."""
+    rng = np.random.default_rng(5)
+    m, k = 12, 24
+    A = rng.integers(0, 2, size=(m, k)).astype(np.uint8)
+    L = np.eye(m, dtype=np.uint8)
+    L[np.arange(1, m), np.arange(0, m - 1)] = 1  # staircase
+    H = np.concatenate([A, L], axis=1)
+    bits = rng.integers(0, 2, size=(k, 7))
+    cw = np.asarray(encode_ldpc(jnp.asarray(bits), H=H,
+                                config=LDPCConfig(mode="DVBS2")))
+    assert _check_parity(H, cw)
+
+
+def test_bp_decoder_corrects_errors():
+    H = gallager_ldpc(96, 3, 6, seed=6)
+    G, _, Hm = par2gen(H)
+    k = G.shape[0]
+    rng = np.random.default_rng(7)
+    n_cw = 8
+    bits = rng.integers(0, 2, size=(k, n_cw))
+    cw = np.asarray(encode_ldpc(jnp.asarray(bits), H=Hm,
+                                config=LDPCConfig(mode="G"), G=G))
+    # BPSK over AWGN at moderate SNR (above the small random code's waterfall)
+    snr_db = 4.0
+    sigma = np.sqrt(0.5 * 10 ** (-snr_db / 10))
+    x = 1 - 2.0 * cw
+    y = x + sigma * rng.normal(size=x.shape)
+    llr = 2 * y / sigma**2
+    for alg in ["SPA", "MSA"]:
+        dec, out_llr, fail = decode_ldpc(
+            jnp.asarray(llr), H=Hm, config=LDPCConfig(maxIter=30, alg=alg)
+        )
+        dec = np.asarray(dec)
+        raw_errs = np.sum((y < 0).astype(int) != cw)
+        post_errs = np.sum(dec != cw)
+        assert raw_errs > 0  # channel actually flipped bits
+        assert post_errs == 0, f"{alg}: {post_errs} errors remain (raw {raw_errs})"
+        assert np.all(np.asarray(fail) == 0)
+
+
+def test_bp_decoder_reports_failure_at_low_snr():
+    H = gallager_ldpc(96, 3, 6, seed=8)
+    G, _, Hm = par2gen(H)
+    k = G.shape[0]
+    rng = np.random.default_rng(9)
+    bits = rng.integers(0, 2, size=(k, 4))
+    cw = np.asarray(encode_ldpc(jnp.asarray(bits), H=Hm,
+                                config=LDPCConfig(mode="G"), G=G))
+    sigma = np.sqrt(0.5 * 10 ** (0.5))  # ~-5 dB: hopeless
+    y = (1 - 2.0 * cw) + sigma * rng.normal(size=cw.shape)
+    llr = 2 * y / sigma**2
+    dec, _, fail = decode_ldpc(jnp.asarray(llr), H=Hm,
+                               config=LDPCConfig(maxIter=10))
+    assert np.any(np.asarray(fail) == 1)
+
+
+def test_hamming_encode_decode_single_error():
+    m = 4  # (15, 11)
+    rng = np.random.default_rng(10)
+    bits = rng.integers(0, 2, size=(11, 6))
+    cw, Hm = encode_hamming(jnp.asarray(bits), m=m)
+    cw = np.asarray(cw)
+    assert cw.shape == (15, 6)
+    assert _check_parity(Hm, cw)
+    # flip one bit per codeword, decode with BP soft decisions
+    corrupted = cw.copy()
+    for j in range(6):
+        corrupted[rng.integers(0, 15), j] ^= 1
+    llr = (1 - 2.0 * corrupted) * 4.0
+    dec, _, fail = decode_hamming(jnp.asarray(llr), m=m)
+    assert np.array_equal(np.asarray(dec), cw)
+
+
+def test_alist_roundtrip(tmp_path):
+    H = gallager_ldpc(24, 3, 6, seed=11)
+    path = str(tmp_path / "test.alist")
+    write_alist(H, path)
+    H2 = read_alist(path)
+    assert np.array_equal(H, H2)
+    info = parse_alist(path)
+    assert info["n"] == 24 and info["m"] == 12
+
+
+@pytest.mark.skipif(not os.path.exists(REF_ALIST),
+                    reason="reference ALIST assets not mounted")
+def test_ieee80211n_alist_decode():
+    """Load the standard IEEE 802.11n 648b R1/2 matrix and run a decode."""
+    H = read_alist(REF_ALIST)
+    assert H.shape == (324, 648)
+    rng = np.random.default_rng(12)
+    k = 324
+    bits = rng.integers(0, 2, size=(k, 2))
+    # triangular encoding when possible, generator fallback otherwise
+    # (mirrors reference encodeLDPC dispatch, fec.py:213-235)
+    P1, P2, Hm = triang_p1p2(H)
+    if P1 is not None:
+        cw = np.asarray(encode_ldpc(jnp.asarray(bits), H=Hm, P1=P1, P2=P2,
+                                    config=LDPCConfig(mode="triang")))
+    else:
+        G, _, Hm = par2gen(H)
+        cw = np.asarray(encode_ldpc(jnp.asarray(bits), H=Hm,
+                                    config=LDPCConfig(mode="G"), G=G))
+    assert _check_parity(Hm, cw)
+    snr_db = 2.5
+    sigma = np.sqrt(0.5 * 10 ** (-snr_db / 10))
+    y = (1 - 2.0 * cw) + sigma * rng.normal(size=cw.shape)
+    llr = 2 * y / sigma**2
+    dec, _, fail = decode_ldpc(jnp.asarray(llr), H=Hm,
+                               config=LDPCConfig(maxIter=50))
+    assert np.sum(np.asarray(dec) != cw) == 0
