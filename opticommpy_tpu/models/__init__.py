@@ -3,7 +3,14 @@
 TPU-native counterpart of the reference ``optic/models`` package.
 """
 
-from opticommpy_tpu.models import channels, config, devices, tx  # noqa: F401
+from opticommpy_tpu.models import (  # noqa: F401
+    amplification,
+    channels,
+    config,
+    devices,
+    perturbation,
+    tx,
+)
 from opticommpy_tpu.models.channels import (  # noqa: F401
     awgn,
     linear_fiber_channel,
