@@ -1,0 +1,144 @@
+"""Tests for the reference-compatible (camelCase) API layer.
+
+Exercises a reference-style script end to end through opticommpy_tpu.compat.
+"""
+
+import numpy as np
+
+from opticommpy_tpu import compat as optic
+
+
+def test_reference_style_ook_script():
+    """Port of the reference basic_OOK_transmission flow, verbatim style."""
+    param = optic.parameters()
+    param.nBits = 10000
+    param.seed = 1
+    bits = optic.bitSource(param)
+
+    symb = np.asarray(optic.modulateGray(bits, 2, "ook")).real
+
+    ps = optic.parameters()
+    ps.pulseType = "nrz"
+    ps.SpS = 8
+    pulse = optic.pulseShape(ps)
+
+    sig = optic.firFilter(pulse, optic.upsample(symb, 8))
+
+    pmzm = optic.parameters()
+    pmzm.Vpi = 2.0
+    pmzm.Vb = -1.0
+    sig_o = optic.mzm(np.ones(len(sig)) + 0j, np.asarray(sig), pmzm)
+
+    pch = optic.parameters()
+    pch.L = 20
+    pch.alpha = 0.2
+    pch.D = 0
+    pch.Fs = 8 * 10e9
+    rx = optic.linearFiberChannel(sig_o, pch)
+
+    ppd = optic.parameters()
+    ppd.Fs = 8 * 10e9
+    ppd.B = 10e9
+    ppd.ideal = True
+    i_rx = optic.photodiode(rx, ppd)
+
+    i_sym = np.asarray(i_rx)[0::8][: len(bits)]
+    ber, q = optic.bert(i_sym, bits)
+    assert float(ber) < 0.01
+
+
+def test_reference_style_qam_metrics():
+    param = optic.parameters()
+    param.nSymbols = 20000
+    param.M = 16
+    param.constType = "qam"
+    param.seed = 3
+    tx = optic.symbolSource(param)
+
+    pawgn = optic.parameters()
+    pawgn.snr = 20.0
+    pawgn.seed = 4
+    rx = optic.awgn(tx, pawgn)
+
+    ber, ser, snr = optic.fastBERcalc(rx, tx, 16, "qam")
+    assert float(snr[0]) > 18.0
+    gmi, ngmi = optic.monteCarloGMI(rx, tx, 16, "qam")
+    assert float(gmi[0]) > 3.5
+    evm = optic.calcEVM(rx, 16, "qam", symbTx=tx)
+    assert float(evm[0]) < 0.02
+
+
+def test_reference_style_wdm_and_edc():
+    p = optic.parameters()
+    p.M = 16
+    p.Rs = 32e9
+    p.SpS = 4
+    p.nBits = 4 * 4096
+    p.nChannels = 1
+    p.nPolModes = 2
+    p.nFilterTaps = 512
+    p.powerPerChannel = -2.0
+    p.seed = 5
+    sig, symbols, grid = optic.simpleWDMTx(p)
+    assert sig.shape[1] == 2
+
+    pch = optic.parameters()
+    pch.L = 40
+    pch.alpha = 0.0
+    pch.D = 17
+    pch.Fs = p.Rs * p.SpS
+    disp = optic.linearFiberChannel(sig, pch)
+
+    pedc = optic.parameters()
+    pedc.L = 40
+    pedc.D = 17
+    pedc.Fs = p.Rs * p.SpS
+    pedc.Rs = p.Rs
+    rec = np.asarray(optic.edc(disp, pedc))
+    sl = slice(400, -400)
+    err = np.mean(np.abs(rec[sl] - np.asarray(sig)[sl]) ** 2)
+    ref = np.mean(np.abs(np.asarray(sig)[sl]) ** 2)
+    assert err / ref < 5e-2
+
+
+def test_compat_name_coverage():
+    """Every major reference public name is present in the compat module."""
+    names = [
+        # utils
+        "parameters", "lin2dB", "dB2lin", "dBm2W", "dec2bitarray",
+        "bitarray2dec", "ber2Qfactor", "llr2bitProb",
+        # dsp.core
+        "sigPow", "signalPower", "firFilter", "rrcFilterTaps", "rcFilterTaps",
+        "pulseShape", "clockSamplingInterp", "quantizer", "lowPassFIR",
+        "decimate", "resample", "upsample", "symbolSync", "finddelay",
+        "pnorm", "anorm", "gaussianComplexNoise", "gaussianNoise",
+        "phaseNoise", "movingAverage", "delaySignal", "iqMixing",
+        "blockwiseFFTConv", "freqShift", "calcMZM", "calcPM", "levinson",
+        "autocorr", "estimateWhiteningFilter",
+        # comm
+        "grayCode", "grayMapping", "pamConst", "qamConst", "pskConst",
+        "apskConst", "minEuclid", "demap", "modulateGray", "demodulateGray",
+        "detector", "softMapper", "softEstimator", "mlse", "bitSource",
+        "prbsGenerator", "symbolSource", "cazacSequence", "bert",
+        "fastBERcalc", "calcLLR", "calcExtrLLR", "monteCarloGMI",
+        "monteCarloMI", "calcMI", "Qfunc", "calcEVM", "theoryBER", "theoryMI",
+        "GN_Model_NyquistWDM", "GNmodel_OSNR", "calcLinOSNR", "hermit",
+        "calcSymbolRate", "modulateOFDM", "demodulateOFDM", "par2gen",
+        "gaussElim", "encodeLDPC", "decodeLDPC", "writeAlist", "readAlist",
+        "inverseMatrixGF2", "triangularize", "triangP1P2",
+        "hammingParityCheckMatrix", "encodeHamming", "parseAlist",
+        # models
+        "pm", "mzm", "iqm", "pbs", "voa", "photodiode", "balancedPD",
+        "opticalHybrid2x4", "coherentReceiver", "pdmCoherentReceiver",
+        "edfa", "basicLaserModel", "adc", "dac", "linearFiberChannel",
+        "ssfm", "manakovSSF", "nlinPhaseRot", "convergenceCondition", "awgn",
+        "simpleWDMTx", "pamTransmitter", "edfaSM", "get_spectrum",
+        "perturbationNLIN", "calcPertCoeffMatrix",
+        # dsp
+        "edc", "mimoAdaptEqualizer", "manakovDBP", "dfe", "ffe", "volterra",
+        "cpr", "bps", "ddpll", "viterbi", "fourthPowerFOE",
+        "gardnerClockRecovery", "gardnerTED", "gardnerTEDnyquist",
+        "interpolator", "calcClockDrift", "syncDataSequences",
+    ]
+    missing = [n for n in names if not hasattr(optic, n)]
+    assert not missing, f"missing compat names: {missing}"
