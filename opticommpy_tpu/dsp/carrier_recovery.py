@@ -206,6 +206,10 @@ def cpr(sig, config: CPRConfig = CPRConfig(), symb_tx=None, pilot_ind=None,
 
     if config.alg == "bps":
         phase_est = bps(sig, config.N // 2, const, config.B)
+    elif config.alg == "bps-pallas":
+        from opticommpy_tpu.kernels.bps_pallas import bps_pallas
+
+        phase_est = bps_pallas(sig, config.N // 2, const, config.B)
     elif config.alg == "ddpll":
         phase_est = ddpll(
             sig, config.Ts, config.Kv, config.tau1, config.tau2, const,

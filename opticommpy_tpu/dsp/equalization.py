@@ -37,6 +37,7 @@ __all__ = [
     "edc",
     "EDCConfig",
     "mimo_adapt_equalizer",
+    "mimo_apply",
     "MIMOEqualizerConfig",
     "manakov_dbp",
     "dfe",
@@ -352,6 +353,38 @@ def mimo_adapt_equalizer(sig, config: MIMOEqualizerConfig = None, symb_ref=None,
     if return_results:
         return sig_out, H, H_, err_sq, h_iter
     return sig_out
+
+
+@partial(jax.jit, static_argnames=("sps",))
+def mimo_apply(H, sig, sps=2):
+    """Apply a trained (frozen) MIMO tap tensor as a batched convolution.
+
+    The throughput companion to :func:`mimo_adapt_equalizer` (SURVEY.md §7's
+    tap-freeze-and-filter strategy): after the adaptive stages converge, the
+    remaining signal is filtered with frozen taps — an embarrassingly
+    parallel (nSym, taps, modes) gather + einsum that XLA tiles onto the
+    MXU, instead of a per-symbol scan. Numerically identical to running the
+    equalizer with ``alg='static'``.
+
+    Parameters
+    ----------
+    H : (modes_out, modes_in, nTaps) tap tensor from the adaptive equalizer.
+    sig : (N, modes_in) input signal at ``sps`` samples/symbol.
+
+    Returns
+    -------
+    (nSym, modes_out) equalized symbols.
+    """
+    sig = jnp.asarray(sig).astype(jnp.complex64)
+    if sig.ndim == 1:
+        sig = sig[:, None]
+    n_taps = H.shape[-1]
+    l_pad = n_taps // 2
+    sig_pad = jnp.pad(sig, ((l_pad, l_pad + sps + n_taps), (0, 0)))
+    n_sym = int(np.fix((sig.shape[0] + 2 * l_pad - n_taps) / sps + 1))
+    idx = np.arange(n_sym)[:, None] * sps + np.arange(n_taps)[None, :]
+    wins = sig_pad[jnp.asarray(idx)]  # (nSym, taps, modes_in)
+    return jnp.einsum("oit,sti->so", H, wins)
 
 
 # ---------------------------------------------------------------------------

@@ -209,6 +209,32 @@ def _manakov_span(e, lin_arg, span_len, cfg: SSFMConfig, nl_sign=1.0):
         hz_last = span_len - n_full * cfg.hz
         sizes = [cfg.hz] * n_full + ([hz_last] if hz_last > 1e-9 else [])
         hz_arr = jnp.asarray(np.asarray(sizes, dtype=np.float32))
+
+        if cfg.fusedLinear and cfg.trapIters == 1:
+            # merged half-steps: the linear operator between nonlinear steps
+            # k and k+1 covers (h_k + h_{k+1})/2; edges get h/2. The field is
+            # carried in the frequency domain -> one fft+ifft pair per step.
+            sizes_np = np.asarray(sizes, dtype=np.float64)
+            mid = (sizes_np[:-1] + sizes_np[1:]) / 2 if len(sizes_np) > 1 else []
+            gaps = np.concatenate([mid, [sizes_np[-1] / 2]])
+            lin_gap = jnp.exp(lin_arg[None, :] * jnp.asarray(
+                gaps[:, None], dtype=jnp.float32))
+            gamma_ = cfg.gamma
+
+            ef = jnp.fft.fft(e, axis=-1) * jnp.exp(lin_arg * (sizes_np[0] / 2))
+
+            def fstep(ef, inp):
+                hz_, lg = inp
+                et = jnp.fft.ifft(ef, axis=-1)
+                pch = jnp.sum(jnp.abs(et) ** 2, axis=0)
+                phi = nlin_phase_rot(et[0], et[1], pch, gamma_)
+                rot = jnp.exp(nl_sign * 1j * phi * hz_).astype(jnp.complex64)
+                ef = jnp.fft.fft(et * rot, axis=-1) * lg
+                return ef, None
+
+            ef, _ = jax.lax.scan(fstep, ef, (hz_arr, lin_gap))
+            return jnp.fft.ifft(ef, axis=-1)
+
         lin_ops = jnp.exp(lin_arg[None, :] * (hz_arr[:, None] / 2))
 
         def step(e, inp):

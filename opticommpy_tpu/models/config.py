@@ -174,6 +174,13 @@ class SSFMConfig:
     # solver (scan only — the fastest-compiling/fastest-running TPU path).
     # trapIters = 0 iterates to `tol` like the reference (while_loop).
     trapIters: int = 0
+    # fusedLinear merges adjacent linear half-steps across the span
+    # (L(h/2) [N L(h)]^{n-1} N L(h/2)): 2 FFTs per step instead of 4, with
+    # the nonlinear rotation anchored on the half-dispersed field (the same
+    # O(h^2)-accurate symmetric scheme; the reference's scalar ssfm,
+    # channels.py:219-229, uses this anchor too). Requires nlprMethod=False
+    # and trapIters=1.
+    fusedLinear: bool = False
 
 
 @dataclass(frozen=True)

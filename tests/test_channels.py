@@ -144,3 +144,28 @@ def test_manakov_adaptive_vs_fixed_step_agree():
     err = np.max(np.abs(np.asarray(out_adaptive) - np.asarray(out_fixed)))
     scale = np.max(np.abs(np.asarray(out_fixed)))
     assert err / scale < 1e-3
+
+
+def test_manakov_fused_linear_matches_unfused():
+    fs = 32e9 * 8
+    sig = 0.02 * _bandlimited_field(2**12, modes=2)
+    base = dict(Ltotal=100, Lspan=50, alpha=0.2, D=16, gamma=1.3, Fs=fs,
+                amp="none", nlprMethod=False, hz=0.1, trapIters=1)
+    out_ref = manakov_ssf(sig, SSFMConfig(**base))
+    out_fused = manakov_ssf(sig, SSFMConfig(fusedLinear=True, **base))
+    err = np.max(np.abs(np.asarray(out_fused) - np.asarray(out_ref)))
+    scale = np.max(np.abs(np.asarray(out_ref)))
+    # same O(h^2) scheme, different nonlinear anchor -> agree to O(h^2)
+    assert err / scale < 2e-3
+
+
+def test_manakov_fused_linear_gamma_zero_exact():
+    fs = 32e9 * 8
+    sig = _bandlimited_field(2**12, modes=2)
+    cfg = SSFMConfig(Ltotal=80, Lspan=80, hz=1.0, alpha=0.2, D=16, gamma=0.0,
+                     Fs=fs, amp="none", nlprMethod=False, trapIters=1,
+                     fusedLinear=True)
+    out = manakov_ssf(sig, cfg)
+    lin = linear_fiber_channel(sig, LinearFiberConfig(L=80, alpha=0.2, D=16, Fs=fs))
+    err = np.max(np.abs(np.asarray(out) - np.asarray(lin)))
+    assert err / np.max(np.abs(np.asarray(lin))) < 1e-4

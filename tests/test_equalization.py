@@ -146,3 +146,23 @@ def test_dfe_beats_ffe_on_deep_isi():
                         trainingMode="fulltime")
     y_ffe, _, mse_ffe = ffe(jnp.asarray(rx), jnp.asarray(symb), cfg_ffe)
     assert np.mean(np.asarray(mse_dfe)[-2000:]) < np.mean(np.asarray(mse_ffe)[-2000:])
+
+
+def test_mimo_apply_matches_static_algorithm():
+    from opticommpy_tpu.dsp.equalization import mimo_apply
+
+    key = jax.random.PRNGKey(10)
+    sps = 2
+    sig, symb = _qam_signal(key, 5000, sps, modes=2)
+    x = pnorm(sig)
+    cfg_train = MIMOEqualizerConfig(nTaps=7, mu=(2e-3,), SpS=sps, alg=("nlms",),
+                                    M=16)
+    _, H, _, _, _ = mimo_adapt_equalizer(x, cfg_train, symb_ref=symb,
+                                         return_results=True)
+    # applying frozen taps == running the 'static' algorithm
+    cfg_static = MIMOEqualizerConfig(nTaps=7, SpS=sps, alg=("static",), M=16)
+    y_static = mimo_adapt_equalizer(x, cfg_static, symb_ref=symb, H=H)
+    y_apply = mimo_apply(H, x, sps)
+    n = min(y_static.shape[0], y_apply.shape[0])
+    assert np.allclose(np.asarray(y_apply)[:n], np.asarray(y_static)[:n],
+                       atol=1e-5)

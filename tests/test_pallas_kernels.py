@@ -1,0 +1,50 @@
+"""Tests for Pallas TPU kernels (interpret mode on the CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opticommpy_tpu.comm.modulation import gray_mapping
+from opticommpy_tpu.dsp import bps
+from opticommpy_tpu.kernels.bps_pallas import bps_pallas
+from opticommpy_tpu.ops import gaussian_complex_noise, phase_noise, pnorm
+from opticommpy_tpu.comm import modulate_gray
+
+
+def _test_signal(n=3000, M=16, snr_db=22.0, lw_ts=2e-6, seed=0):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 2, size=n * 4)
+    tx = pnorm(modulate_gray(jnp.asarray(bits), M, "qam"))
+    phi = phase_noise(k1, lw_ts, n, 1.0)
+    noise = gaussian_complex_noise(k2, (n,), 10 ** (-snr_db / 10))
+    return tx * jnp.exp(1j * phi) + noise, phi
+
+
+def test_bps_pallas_matches_xla_reference():
+    sig, _ = _test_signal()
+    const = pnorm(jnp.asarray(gray_mapping(16, "qam")))
+    est_xla = np.asarray(bps(sig, 16, const, 64))
+    est_pl = np.asarray(bps_pallas(sig, 16, const, 64, block=256, interpret=True))
+    # identical argmin decisions except possible f32 near-ties
+    mismatch = np.mean(est_xla != est_pl)
+    assert mismatch < 0.01, f"mismatch rate {mismatch}"
+
+
+def test_bps_pallas_tracks_phase():
+    sig, phi = _test_signal(seed=1)
+    const = pnorm(jnp.asarray(gray_mapping(16, "qam")))
+    est = np.asarray(bps_pallas(sig, 16, const, 64, block=512, interpret=True))
+    err = np.angle(np.exp(1j * 4 * (est + np.asarray(phi)))) / 4
+    assert np.std(err[200:-200]) < 0.05
+
+
+def test_bps_pallas_two_modes_and_odd_sizes():
+    s1, _ = _test_signal(n=1111, seed=2)
+    s2, _ = _test_signal(n=1111, seed=3)
+    sig = jnp.stack([s1, s2], axis=1)
+    const = pnorm(jnp.asarray(gray_mapping(16, "qam")))
+    est = bps_pallas(sig, 8, const, 32, block=128, interpret=True)
+    assert est.shape == (1111, 2)
+    ref = bps(sig, 8, const, 32)
+    assert np.mean(np.asarray(est) != np.asarray(ref)) < 0.02
