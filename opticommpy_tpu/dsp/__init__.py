@@ -28,6 +28,7 @@ from opticommpy_tpu.dsp.equalization import (  # noqa: F401
     ffe,
     manakov_dbp,
     mimo_adapt_equalizer,
+    mimo_apply,
     volterra,
 )
 from opticommpy_tpu.dsp.synchronization import (  # noqa: F401

@@ -10,6 +10,11 @@ from opticommpy_tpu.parallel.mesh import (  # noqa: F401
     data_sharding,
     make_mesh,
 )
+from opticommpy_tpu.parallel.distributed import (  # noqa: F401
+    init_distributed,
+    is_multihost,
+    local_device_count,
+)
 from opticommpy_tpu.parallel.sharded import (  # noqa: F401
     manakov_ssf_dp,
     shard_batch,
