@@ -37,13 +37,11 @@ def _bps_kernel(sig_re_ref, sig_im_ref, rot_re_ref, rot_im_ref,
     r_re = rot_re_ref[:]  # (1, B)
     r_im = rot_im_ref[:]
 
-    # rotated signal z = s * rot (complex outer product) -> (T, B)
-    z_re = jnp.dot(s_re, r_re, preferred_element_type=jnp.float32) - jnp.dot(
-        s_im, r_im, preferred_element_type=jnp.float32
-    )
-    z_im = jnp.dot(s_re, r_im, preferred_element_type=jnp.float32) + jnp.dot(
-        s_im, r_re, preferred_element_type=jnp.float32
-    )
+    # rotated signal z = s * rot (complex outer product) -> (T, B).
+    # Broadcast multiply on the VPU (full f32); an MXU dot would round the
+    # operands to bf16 and corrupt the distance comparison.
+    z_re = s_re * r_re - s_im * r_im
+    z_im = s_re * r_im + s_im * r_re
 
     # minimum constellation distance, unrolled over M (working set stays (T, B))
     dmin = jnp.full(z_re.shape, jnp.inf, dtype=jnp.float32)
@@ -52,11 +50,16 @@ def _bps_kernel(sig_re_ref, sig_im_ref, rot_re_ref, rot_im_ref,
         di = z_im - ci_ref[0, m]
         dmin = jnp.minimum(dmin, dr * dr + di * di)
 
-    # sliding-window sum: W[t, s] = 1 for s in [t, t + 2*halo], an MXU matmul
+    # sliding-window sum: W[t, s] = 1 for s in [t, t + 2*halo], an MXU matmul.
+    # HIGHEST precision keeps the f32 mantissa (default MXU f32 rounds inputs
+    # to bf16, which flips argmin decisions between near-tied test phases).
     rows = jax.lax.broadcasted_iota(jnp.int32, (block, t_ext), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (block, t_ext), 1)
     win_mask = ((cols >= rows) & (cols <= rows + 2 * halo)).astype(jnp.float32)
-    sums = jnp.dot(win_mask, dmin, preferred_element_type=jnp.float32)  # (block, B)
+    sums = jnp.dot(
+        win_mask, dmin, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (block, B)
 
     out_ref[0, :, :] = jnp.argmin(sums, axis=1, keepdims=True).astype(jnp.int32)
 

@@ -187,3 +187,32 @@ def test_ieee80211n_alist_decode():
     dec, _, fail = decode_ldpc(jnp.asarray(llr), H=Hm,
                                config=LDPCConfig(maxIter=50))
     assert np.sum(np.asarray(dec) != cw) == 0
+
+
+REF_DVBS2 = "/root/reference/optic/comm/ALIST/LDPC_DVBS2_64800b_R45.txt"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(REF_DVBS2),
+                    reason="reference ALIST assets not mounted")
+def test_dvbs2_64800_encode_decode():
+    """Full-scale DVB-S2 64800b R4/5: prefix-XOR encoder + MSA decoder."""
+    H = read_alist(REF_DVBS2)
+    assert H.shape == (12960, 64800)
+    k = H.shape[1] - H.shape[0]
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, size=(k, 1))
+    cw = np.asarray(encode_ldpc(jnp.asarray(bits), H=H,
+                                config=LDPCConfig(mode="DVBS2")))
+    assert _check_parity(H, cw)
+    snr_db = 3.0
+    sigma = np.sqrt(0.5 * 10 ** (-snr_db / 10))
+    y = (1 - 2.0 * cw) + sigma * rng.normal(size=cw.shape)
+    llr = (2 * y / sigma**2).astype(np.float32)
+    dec, _, fail = decode_ldpc(jnp.asarray(llr), H=H,
+                               config=LDPCConfig(maxIter=25, alg="MSA"))
+    raw = np.sum((y < 0).astype(int) != cw)
+    post = np.sum(np.asarray(dec) != cw)
+    assert raw > 100  # channel flipped plenty of bits
+    assert post == 0
+    assert int(np.asarray(fail)[0]) == 0
