@@ -82,12 +82,15 @@ def bps(sig, n_half, const_symb, n_phases):
     for i in range(const_symb.shape[0]):
         dmin = jnp.minimum(dmin, jnp.abs(z - const_symb[i]) ** 2)
 
-    # sliding-window sum over time (zero-padded, same output length)
+    # sliding-window sum over time (zero-padded, same output length).
+    # reduce_window adds the 2*n_half+1 window values directly — a cumsum
+    # difference loses ~eps*N relative accuracy to cancellation at large N,
+    # which flips argmin decisions between near-tied test phases.
     win = 2 * n_half + 1
     pad = jnp.pad(dmin, ((n_half, n_half), (0, 0), (0, 0)))
-    c = jnp.cumsum(pad, axis=0)
-    c = jnp.concatenate([jnp.zeros_like(c[:1]), c], axis=0)
-    sums = c[win:] - c[:-win]  # (N, modes, B)
+    sums = jax.lax.reduce_window(
+        pad, 0.0, jax.lax.add, (win, 1, 1), (1, 1, 1), "valid"
+    )  # (N, modes, B)
 
     ind = jnp.argmin(sums, axis=-1)  # (N, modes)
     est = phases[ind]
