@@ -1,0 +1,117 @@
+"""Auxiliary benchmark: coherent DSP chain throughput (Msym/s) on one chip.
+
+Measures the receiver chain of the flagship workload (BASELINE.json config 3)
+at 2 samples/symbol, 16-QAM polmux:
+
+- stage timings for matched filter, CDC (overlap-save EDC), MIMO equalizer
+  (adaptive scan and frozen-tap apply), and BPS carrier recovery,
+- end-to-end Msym/s for the adaptive chain and for the converged
+  (frozen-tap) chain — the production/serving path.
+
+Prints one JSON line per configuration. Not invoked by the driver (bench.py
+is the headline); run manually: ``python bench_dsp.py``.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+N_SYM = 2**17  # symbols per polarization
+SPS = 2
+RS = 32e9
+
+
+def build_chain():
+    from opticommpy_tpu.comm.modulation import gray_mapping
+    from opticommpy_tpu.dsp.carrier_recovery import bps
+    from opticommpy_tpu.dsp.equalization import (
+        EDCConfig,
+        MIMOEqualizerConfig,
+        _adapt_eq_stage,
+        edc,
+        mimo_apply,
+    )
+    from opticommpy_tpu.ops.filtering import pulse_shape
+    from opticommpy_tpu.ops.signal import pnorm
+
+    fs = RS * SPS
+    n = N_SYM * SPS
+    pulse = jnp.asarray(pulse_shape("rrc", SPS, 512, 0.1).astype(np.float32))
+    const = gray_mapping(16, "qam")
+    const = jnp.asarray((const / np.sqrt(np.mean(np.abs(const) ** 2))).astype(np.complex64))
+
+    edc_cfg = EDCConfig(L=400, D=16, Fs=fs, Rs=RS)
+    eq_cfg = MIMOEqualizerConfig(nTaps=15, SpS=SPS, mu=(2e-3,), alg=("dd-lms",), M=16)
+
+    n_taps = 15
+    l_pad = n_taps // 2
+
+    def adaptive_chain(sig_ri, h0_ri):
+        from opticommpy_tpu.ops.filtering import fir_filter
+
+        sig = (sig_ri[..., 0] + 1j * sig_ri[..., 1]).astype(jnp.complex64)
+        h0 = (h0_ri[..., 0] + 1j * h0_ri[..., 1]).astype(jnp.complex64)
+        x = fir_filter(pulse, sig)  # matched filter
+        x = edc(x, edc_cfg)  # CD compensation
+        x = pnorm(x)
+        x_pad = jnp.pad(x, ((l_pad, l_pad + SPS + n_taps), (0, 0)))
+        y, H, _, _, _, _ = _adapt_eq_stage(
+            x_pad, x[::SPS][:N_SYM], h0, jnp.zeros_like(h0),
+            jnp.tile(jnp.eye(n_taps, dtype=jnp.complex64), (2, 1, 1)),
+            const, jnp.asarray(1.32, jnp.float32), jnp.abs(const[:1]),
+            2e-3, 0.99, "dd-lms", SPS, n_taps, N_SYM, False, False,
+        )
+        est = bps(y, 32, const, 64)
+        out = y * jnp.exp(1j * est)
+        return jnp.mean((out * jnp.conj(out)).real)
+
+    def frozen_chain(sig_ri, h_ri):
+        from opticommpy_tpu.ops.filtering import fir_filter
+
+        sig = (sig_ri[..., 0] + 1j * sig_ri[..., 1]).astype(jnp.complex64)
+        H = (h_ri[..., 0] + 1j * h_ri[..., 1]).astype(jnp.complex64)
+        x = fir_filter(pulse, sig)
+        x = edc(x, edc_cfg)
+        x = pnorm(x)
+        y = mimo_apply(H, x, SPS)
+        est = bps(y, 32, const, 64)
+        out = y * jnp.exp(1j * est)
+        return jnp.mean((out * jnp.conj(out)).real)
+
+    rng = np.random.default_rng(0)
+    sig_ri = rng.normal(size=(n, 2, 2)).astype(np.float32) * 0.2
+    h0 = np.zeros((2, 2, n_taps, 2), dtype=np.float32)
+    h0[0, 0, n_taps // 2, 0] = 1.0
+    h0[1, 1, n_taps // 2, 0] = 1.0
+    return adaptive_chain, frozen_chain, jnp.asarray(sig_ri), jnp.asarray(h0)
+
+
+def time_fn(fn, *args, reps=3):
+    f = jax.jit(fn)
+    float(f(*args))  # compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(f(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    adaptive, frozen, sig, h0 = build_chain()
+    t_ad = time_fn(adaptive, sig, h0)
+    t_fr = time_fn(frozen, sig, h0)
+    print(json.dumps({
+        "metric": "coherent DSP chain (MF+EDC+2x2 MIMO+BPS), 16QAM polmux",
+        "adaptive_Msym_per_s": round(N_SYM / t_ad / 1e6, 3),
+        "frozen_tap_Msym_per_s": round(N_SYM / t_fr / 1e6, 3),
+        "n_symbols": N_SYM,
+    }))
+
+
+if __name__ == "__main__":
+    main()
