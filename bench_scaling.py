@@ -1,0 +1,80 @@
+"""Auxiliary benchmark: data-parallel SSFM weak-scaling efficiency.
+
+Propagates k WDM polmux signals per chip through the Manakov solver with the
+batch axis sharded over the mesh `data` axis, at 1, 2, ..., n_devices chips,
+and reports samples/s/chip and weak-scaling efficiency (the north-star
+>=80% target, BASELINE.md).
+
+On this environment only one real TPU chip is reachable, so multi-chip rows
+run on the virtual CPU mesh (set ``JAX_PLATFORMS=cpu`` +
+``--xla_force_host_platform_device_count=8``) — that validates the machinery
+and the sharding layout; true ICI efficiency needs real multi-chip hardware.
+
+Prints one JSON line per mesh size. Not invoked by the driver.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+N_SAMPLES = 2**17
+SIGNALS_PER_CHIP = 2
+
+
+def main():
+    from opticommpy_tpu.models import SSFMConfig
+    from opticommpy_tpu.models.channels import manakov_ssf
+    from opticommpy_tpu.parallel import make_mesh
+    from jax.sharding import PartitionSpec as P
+
+    cfg = SSFMConfig(Ltotal=50.0, Lspan=50.0, hz=0.5, alpha=0.2, D=16.0,
+                     gamma=1.3, Fs=32e9 * 4, amp="ideal", nlprMethod=False,
+                     trapIters=1, fusedLinear=True)
+
+    n_dev_total = len(jax.devices())
+    sizes = [d for d in [1, 2, 4, 8] if d <= n_dev_total]
+    base_rate = None
+    rng = np.random.default_rng(0)
+
+    for n_dev in sizes:
+        mesh = make_mesh(n_data=n_dev, n_time=1)
+        k = SIGNALS_PER_CHIP * n_dev
+        x = rng.normal(size=(N_SAMPLES, 2 * k, 2)).astype(np.float32) * 0.01
+
+        prop = jax.shard_map(
+            lambda e: manakov_ssf(e, cfg),
+            mesh=mesh, in_specs=P(None, "data"), out_specs=P(None, "data"),
+        )
+
+        def step(x_ri):
+            e = x_ri[..., 0] + 1j * x_ri[..., 1]
+            out = prop(e)
+            return jnp.mean((out * jnp.conj(out)).real)
+
+        with mesh:
+            fn = jax.jit(step)
+            xj = jnp.asarray(x)
+            float(fn(xj))  # compile
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(fn(xj))
+                ts.append(time.perf_counter() - t0)
+        t = min(ts)
+        rate_per_chip = N_SAMPLES * k / t / n_dev
+        if base_rate is None:
+            base_rate = rate_per_chip
+        print(json.dumps({
+            "metric": "manakovSSF DP weak scaling",
+            "devices": n_dev,
+            "samples_per_s_per_chip": round(rate_per_chip, 1),
+            "efficiency_vs_1chip": round(rate_per_chip / base_rate, 3),
+        }))
+
+
+if __name__ == "__main__":
+    main()
