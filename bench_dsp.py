@@ -40,9 +40,9 @@ def build_chain():
 
     fs = RS * SPS
     n = N_SYM * SPS
-    pulse = jnp.asarray(pulse_shape("rrc", SPS, 512, 0.1).astype(np.float32))
+    pulse = pulse_shape("rrc", SPS, 512, 0.1).astype(np.float32)
     const = gray_mapping(16, "qam")
-    const = jnp.asarray((const / np.sqrt(np.mean(np.abs(const) ** 2))).astype(np.complex64))
+    const = (const / np.sqrt(np.mean(np.abs(const) ** 2))).astype(np.complex64)
 
     edc_cfg = EDCConfig(L=400, D=16, Fs=fs, Rs=RS)
     eq_cfg = MIMOEqualizerConfig(nTaps=15, SpS=SPS, mu=(2e-3,), alg=("dd-lms",), M=16)
@@ -62,10 +62,10 @@ def build_chain():
         y, H, _, _, _, _ = _adapt_eq_stage(
             x_pad, x[::SPS][:N_SYM], h0, jnp.zeros_like(h0),
             jnp.tile(jnp.eye(n_taps, dtype=jnp.complex64), (2, 1, 1)),
-            const, jnp.asarray(1.32, jnp.float32), jnp.abs(const[:1]),
+            jnp.asarray(const), np.float32(1.32), np.abs(const[:1]),
             2e-3, 0.99, "dd-lms", SPS, n_taps, N_SYM, False, False,
         )
-        est = bps(y, 32, const, 64)
+        est = bps(y, 32, jnp.asarray(const), 64)
         out = y * jnp.exp(1j * est)
         return jnp.mean((out * jnp.conj(out)).real)
 
@@ -78,7 +78,7 @@ def build_chain():
         x = edc(x, edc_cfg)
         x = pnorm(x)
         y = mimo_apply(H, x, SPS)
-        est = bps(y, 32, const, 64)
+        est = bps(y, 32, jnp.asarray(const), 64)
         out = y * jnp.exp(1j * est)
         return jnp.mean((out * jnp.conj(out)).real)
 

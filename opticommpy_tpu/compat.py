@@ -468,3 +468,9 @@ calcClockDrift = _clk.calc_clock_drift
 
 def syncDataSequences(rx, tx, param):
     return _sync.sync_data_sequences(rx, tx, params_to_config(param, _sync.SyncConfig))
+
+
+def OSA(x, Fs, Fc=193.1e12):
+    from opticommpy_tpu.plot import osa as _osa
+
+    return _osa(x, Fs, Fc)

@@ -27,7 +27,31 @@ __all__ = [
     "eyediagram",
     "plot_psd",
     "animate_const_gif",
+    "osa",
 ]
+
+
+def osa(x, fs, fc=193.1e12, ax=None):
+    """Optical spectrum analyzer plot per polarization (amplification.py:59).
+
+    Renders magnitude spectra in dBm against wavelength.
+    """
+    from opticommpy_tpu.models.amplification import get_spectrum
+
+    x = np.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    if ax is None:
+        _, ax = plt.subplots(1)
+    labels = ["X Pol.", "Y Pol."]
+    for k in range(min(x.shape[1], 2)):
+        lam, spec = get_spectrum(x[:, k], fs, fc)
+        ax.plot(1e9 * lam, spec, label=labels[k], alpha=1.0 if k == 0 else 0.5)
+    ax.set_xlabel("Wavelength [nm]")
+    ax.set_ylabel("Magnitude [dBm]")
+    ax.legend()
+    ax.grid(True, alpha=0.3)
+    return ax
 
 
 def _to_cols(x):
