@@ -119,6 +119,14 @@ class MIMOEqualizerConfig:
     constType: str = "qam"
     M: int = 4
     shapingFactor: float = 0.0
+    # blockUpdate > 1 enables block-parallel training (TPU throughput mode):
+    # taps are held fixed within each K-symbol block, the K filter outputs
+    # and error gradients are computed as one batched contraction, and the
+    # accumulated update is applied once per block — a K-fold shorter scan
+    # with MXU-sized per-step work (mini-batch/delayed-gradient LMS; reduce
+    # mu accordingly). K=1 reproduces the reference's per-symbol recursion.
+    # Not supported for the 'rls'/'dd-rls' algorithms.
+    blockUpdate: int = 1
 
 
 def _decide(z, const):
@@ -262,6 +270,82 @@ def _adapt_eq_stage(
     return sig_out, H, H_, Sd, err_sq, h_iter
 
 
+@partial(
+    jax.jit,
+    static_argnames=("alg", "sps", "n_taps", "length", "run_wl", "k_block"),
+)
+def _adapt_eq_stage_blocked(
+    sig_pad, symb_ref, H, H_, const, r_cma, r_rde, mu,
+    alg, sps, n_taps, length, run_wl, k_block,
+):
+    """Block-parallel training stage: taps frozen within K-symbol blocks.
+
+    Each scan step filters K symbols with the current taps (one batched
+    einsum), computes the per-symbol errors of the selected algorithm, and
+    applies the accumulated gradient once — mini-batch LMS. K-fold fewer
+    scan iterations with MXU-shaped work per iteration.
+    """
+    n_blocks = length // k_block
+    # gather all windows once: (length, taps, modes)
+    idx = np.arange(length)[:, None] * sps + np.arange(n_taps)[None, :]
+    wins_all = sig_pad[jnp.asarray(idx)]
+
+    def step(carry, b):
+        H, H_ = carry
+        wins = jax.lax.dynamic_slice_in_dim(
+            wins_all, b * k_block, k_block, axis=0
+        )  # (K, taps, modes)
+        refs = jax.lax.dynamic_slice_in_dim(symb_ref, b * k_block, k_block, 0)
+        out = jnp.einsum("oit,kti->ko", H, wins)
+        if run_wl:
+            out = out + jnp.einsum("oit,kti->ko", H_, jnp.conj(wins))
+
+        if alg == "nlms":
+            err = refs - out
+            norm2 = jnp.sum(jnp.abs(wins) ** 2, axis=1, keepdims=True)
+            wins_g = wins / norm2
+            eff = err
+        elif alg == "cma":
+            eff = (r_cma - jnp.abs(out) ** 2).astype(H.dtype) * out
+            err = r_cma - jnp.abs(out) ** 2
+            wins_g = wins
+        elif alg == "dd-lms":
+            dec = const[jnp.argmin(
+                jnp.abs(out[..., None] - const[None, None, :]) ** 2, axis=-1)]
+            err = dec - out
+            eff = err
+            wins_g = wins
+        elif alg == "rde":
+            r_dec = r_rde[jnp.argmin(
+                jnp.abs(r_rde[None, None, :] - jnp.abs(out)[..., None]), axis=-1)]
+            err = (r_dec**2 - jnp.abs(out) ** 2).astype(H.dtype)
+            eff = err * out
+            wins_g = wins
+        elif alg == "da-rde":
+            err = (jnp.abs(refs) ** 2 - jnp.abs(out) ** 2).astype(H.dtype)
+            eff = err * out
+            wins_g = wins
+        elif alg == "static":
+            err = refs - out
+            eff = jnp.zeros_like(out)
+            wins_g = wins
+        else:
+            raise ValueError(
+                f"blockUpdate > 1 is not supported for algorithm '{alg}'"
+            )
+
+        grad = jnp.einsum("ko,kti->oit", eff, jnp.conj(wins_g))
+        H = H + mu * grad
+        if run_wl:
+            H_ = H_ + mu * jnp.einsum("ko,kti->oit", eff, wins_g)
+        return (H, H_), (out, jnp.abs(err) ** 2)
+
+    (H, H_), (outs, errs) = jax.lax.scan(step, (H, H_), jnp.arange(n_blocks))
+    sig_out = outs.reshape(n_blocks * k_block, -1)
+    err_sq = errs.reshape(n_blocks * k_block, -1)
+    return sig_out, H, H_, err_sq
+
+
 def mimo_adapt_equalizer(sig, config: MIMOEqualizerConfig = None, symb_ref=None,
                          H=None, H_=None, return_results=False):
     """N x N MIMO adaptive equalizer with multi-stage training.
@@ -334,12 +418,39 @@ def mimo_adapt_equalizer(sig, config: MIMOEqualizerConfig = None, symb_ref=None,
         ]
         ref_slice = symb_ref[n_start : n_start + length]
         n_iter = config.numIter if stage == 0 else 1
+        k_block = config.blockUpdate
+        use_blocked = (
+            k_block > 1
+            and alg not in ("rls", "dd-rls")
+            and not config.storeCoeff
+            and length >= k_block
+        )
         for _ in range(n_iter):
-            sig_out, H, H_, Sd, err_sq, h_iter = _adapt_eq_stage(
-                stage_slice, ref_slice, H, H_, Sd, const, r_cma, r_rde,
-                float(mus[stage]), float(config.lambdaRLS),
-                alg, sps, n_taps, length, config.runWL, config.storeCoeff,
-            )
+            if use_blocked:
+                n_main = (length // k_block) * k_block
+                sig_out, H, H_, err_sq = _adapt_eq_stage_blocked(
+                    stage_slice, ref_slice, H, H_, const, r_cma, r_rde,
+                    float(mus[stage]), alg, sps, n_taps, n_main,
+                    config.runWL, k_block,
+                )
+                h_iter = H[None]
+                if n_main < length:  # per-symbol remainder
+                    rem = length - n_main
+                    rem_slice = stage_slice[n_main * sps :]
+                    so2, H, H_, Sd, es2, _ = _adapt_eq_stage(
+                        rem_slice, ref_slice[n_main:], H, H_, Sd, const,
+                        r_cma, r_rde, float(mus[stage]),
+                        float(config.lambdaRLS), alg, sps, n_taps, rem,
+                        config.runWL, False,
+                    )
+                    sig_out = jnp.concatenate([sig_out, so2], axis=0)
+                    err_sq = jnp.concatenate([err_sq, es2], axis=0)
+            else:
+                sig_out, H, H_, Sd, err_sq, h_iter = _adapt_eq_stage(
+                    stage_slice, ref_slice, H, H_, Sd, const, r_cma, r_rde,
+                    float(mus[stage]), float(config.lambdaRLS),
+                    alg, sps, n_taps, length, config.runWL, config.storeCoeff,
+                )
         outs.append(sig_out)
         errs.append(err_sq)
         h_iters.append(h_iter)

@@ -166,3 +166,38 @@ def test_mimo_apply_matches_static_algorithm():
     n = min(y_static.shape[0], y_apply.shape[0])
     assert np.allclose(np.asarray(y_apply)[:n], np.asarray(y_static)[:n],
                        atol=1e-5)
+
+
+def test_mimo_block_update_converges_like_per_symbol():
+    key = jax.random.PRNGKey(11)
+    sps = 2
+    sig, symb = _qam_signal(key, 8000, sps, modes=2)
+    x = pnorm(sig)
+    # per-symbol
+    cfg1 = MIMOEqualizerConfig(nTaps=7, mu=(2e-3,), SpS=sps, alg=("nlms",), M=16)
+    _, H1, _, e1, _ = mimo_adapt_equalizer(x, cfg1, symb_ref=symb,
+                                           return_results=True)
+    # block-parallel (K=16, same effective adaptation budget)
+    cfg2 = MIMOEqualizerConfig(nTaps=7, mu=(2e-3,), SpS=sps, alg=("nlms",),
+                               M=16, blockUpdate=16)
+    y2, H2, _, e2, _ = mimo_adapt_equalizer(x, cfg2, symb_ref=symb,
+                                            return_results=True)
+    tail1 = float(np.mean(np.asarray(e1.real)[:, -1000:]))
+    tail2 = float(np.mean(np.asarray(e2.real)[:, -1000:]))
+    assert tail2 < 2 * tail1 + 5e-3, (tail1, tail2)
+    assert y2.shape[0] == 8000
+
+
+def test_mimo_block_update_cma():
+    key = jax.random.PRNGKey(12)
+    sps = 2
+    sig, symb = _qam_signal(key, 12000, sps, modes=2, m=4)
+    theta = 0.3
+    J = jnp.array([[np.cos(theta), np.sin(theta)],
+                   [-np.sin(theta), np.cos(theta)]], dtype=jnp.complex64)
+    mixed = pnorm(sig @ J.T)
+    cfg = MIMOEqualizerConfig(nTaps=5, mu=(1e-3,), SpS=sps, alg=("cma",), M=4,
+                              blockUpdate=8)
+    y = mimo_adapt_equalizer(mixed, cfg, symb_ref=symb)
+    tail = np.asarray(y)[-3000:]
+    assert np.mean(np.abs(np.abs(tail) - 1.0) ** 2) < 0.03
