@@ -26,7 +26,7 @@ from opticommpy_tpu.comm.modulation import (
     gray_mapping,
     min_euclid,
 )
-from opticommpy_tpu.ops.signal import pnorm, signal_power
+from opticommpy_tpu.ops.signal import pnorm
 from opticommpy_tpu.utils.units import db2lin
 
 __all__ = [

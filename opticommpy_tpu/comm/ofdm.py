@@ -7,9 +7,8 @@ and the pilot-based channel estimate is computed with a closed-form linear
 interpolation/extrapolation instead of scipy.interp1d.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -19,7 +19,7 @@ Reference citations: gilesSpectrum (amplification.py:139), gilesSpatial
 edfParams (:285), edfaArgs (:359), edfaSM (:420), OSA/get_spectrum (:59,:96).
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 from scipy.constants import Planck, c

@@ -19,7 +19,7 @@ from opticommpy_tpu.models.config import IQMConfig, MZMConfig
 from opticommpy_tpu.models.devices import iqm, mzm
 from opticommpy_tpu.ops.filtering import fir_filter, pulse_shape
 from opticommpy_tpu.ops.noise import phase_noise
-from opticommpy_tpu.ops.signal import pnorm, upsample
+from opticommpy_tpu.ops.signal import upsample
 from opticommpy_tpu.utils.rng import ensure_key
 from opticommpy_tpu.utils.units import dbm2w
 

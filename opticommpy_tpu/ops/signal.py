@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from opticommpy_tpu.ops.filtering import fir_filter, lowpass_fir, overlap_save
+from opticommpy_tpu.ops.filtering import fir_filter, lowpass_fir
 
 __all__ = [
     "sig_pow",

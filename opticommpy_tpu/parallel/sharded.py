@@ -16,8 +16,6 @@ TPU-native scaling of the two structures the reference already exposes
 Both compose in one mesh: ``Mesh((data, time))``.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
