@@ -377,12 +377,17 @@ def mimo_adapt_equalizer(sig, config: MIMOEqualizerConfig = None, symb_ref=None,
     # extra trailing zeros guarantee every stage slice holds full windows
     sig_pad = jnp.pad(sig.astype(jnp.complex64), ((l_pad, l_pad + sps + n_taps), (0, 0)))
 
-    # normalized reference constellation under the shaping pmf
-    const = gray_mapping(config.M, config.constType)
+    # normalized reference constellation under the shaping pmf (all host-side
+    # numpy: these must stay concrete even when this function is traced
+    # inside an outer jit)
+    const_np = gray_mapping(config.M, config.constType)
     px = symbol_pmf(config.M, config.constType,
                     "maxwell-boltzmann" if config.shapingFactor else "uniform",
                     config.shapingFactor)
-    const = jnp.asarray((const / np.sqrt(np.sum(np.abs(const) ** 2 * px))).astype(np.complex64))
+    const_np = (const_np / np.sqrt(np.sum(np.abs(const_np) ** 2 * px))).astype(
+        np.complex64
+    )
+    const = jnp.asarray(const_np)
 
     total_symbols = int(np.fix((sig.shape[0] + 2 * l_pad - n_taps) / sps + 1))
     stage_lengths = config.L if config.L is not None else (total_symbols,)
@@ -405,9 +410,9 @@ def mimo_adapt_equalizer(sig, config: MIMOEqualizerConfig = None, symb_ref=None,
     Sd = jnp.tile(jnp.eye(n_taps, dtype=jnp.complex64), (n_modes, 1, 1))
 
     r_cma = jnp.asarray(
-        np.mean(np.abs(np.asarray(const)) ** 4) / np.mean(np.abs(np.asarray(const)) ** 2)
-    ).astype(jnp.float32)
-    r_rde = jnp.asarray(np.unique(np.abs(np.asarray(const))).astype(np.float32))
+        np.float32(np.mean(np.abs(const_np) ** 4) / np.mean(np.abs(const_np) ** 2))
+    )
+    r_rde = jnp.asarray(np.unique(np.abs(const_np)).astype(np.float32))
 
     outs, errs, h_iters = [], [], []
     n_start = 0

