@@ -167,7 +167,8 @@ demap = _mod.demap
 modulateGray = _mod.modulate_gray
 demodulateGray = _mod.demodulate_gray
 detector = _mod.detector
-softMapper = _mod.soft_mapper
+def softMapper(llr, M, constType, prec=None):
+    return _mod.soft_mapper(llr, M, constType)
 softEstimator = _mod.soft_estimator
 mlse = _mod.mlse
 
