@@ -88,7 +88,14 @@ def edc(sig, config: EDCConfig):
         )
     nfft = config.Nfft
     if nfft is None:
-        nfft = 2 ** int(np.ceil(np.log2(n_coeffs)))
+        # the reference uses next-pow2(K) (equalization.py:103), which makes
+        # the overlap-save valid-block length K-1 times smaller than the FFT
+        # — pathological for long CD filters. 8x the filter length keeps
+        # ~7/8 of every FFT productive (capped at one single-signal block).
+        nfft = min(
+            8 * 2 ** int(np.ceil(np.log2(n_coeffs))),
+            2 ** int(np.ceil(np.log2(sig.shape[0] + n_coeffs))),
+        )
     w = 2 * np.pi * config.Fs * np.fft.fftfreq(n_coeffs)
     H = jnp.asarray(np.exp(-1j * (beta2 / 2) * (w**2) * config.L).astype(np.complex64))
     return overlap_save(sig, H, nfft=nfft, freq_domain_filter=True)
