@@ -1,0 +1,73 @@
+"""Numerical-precision validation: c64 SSFM vs a complex128 reference.
+
+SURVEY.md §7 flags this as a hard part: the reference defaults to
+complex128 (prec params), while TPU prefers complex64 — the framework must
+keep the solver error well below the physical-impairment floor at c64.
+The reference here is a NumPy complex128 transcription of the same
+symmetric fixed-step scheme (independent implementation, double precision).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from opticommpy_tpu.models import SSFMConfig, manakov_ssf
+
+
+def _numpy_manakov_c128(ex, ey, fs, ltotal, lspan, hz, alpha_db, disp, gamma_):
+    c_kms = 299792458.0 / 1e3
+    lam = c_kms / 193.1e12
+    alpha = alpha_db / (10 * np.log10(np.e))
+    beta2 = -(disp * lam**2) / (2 * np.pi * c_kms)
+    n = len(ex)
+    w = 2 * np.pi * fs * np.fft.fftfreq(n)
+    lin_half = np.exp((-(alpha / 2) + 1j * (beta2 / 2) * w**2) * (hz / 2))
+    n_spans = int(ltotal / lspan)
+    n_steps = int(lspan / hz)
+    ex = ex.astype(np.complex128)
+    ey = ey.astype(np.complex128)
+    for _ in range(n_spans):
+        for _ in range(n_steps):
+            ex = np.fft.ifft(np.fft.fft(ex) * lin_half)
+            ey = np.fft.ifft(np.fft.fft(ey) * lin_half)
+            p = np.abs(ex) ** 2 + np.abs(ey) ** 2
+            rot = np.exp(1j * (8 / 9) * gamma_ * p * hz)
+            ex *= rot
+            ey *= rot
+            ex = np.fft.ifft(np.fft.fft(ex) * lin_half)
+            ey = np.fft.ifft(np.fft.fft(ey) * lin_half)
+        ex *= np.exp(alpha / 2 * lspan)
+        ey *= np.exp(alpha / 2 * lspan)
+    return ex, ey
+
+
+@pytest.mark.slow
+def test_c64_ssfm_error_floor_below_physics():
+    """Solver noise at c64 stays > 40 dB below the signal (SNR bound)."""
+    fs = 32e9 * 8
+    rng = np.random.default_rng(0)
+    n = 2**13
+    sps = 8
+    n_sym = n // sps
+    s = rng.choice([-1 - 1j, -1 + 1j, 1 - 1j, 1 + 1j], size=(n_sym, 2))
+    up = np.zeros((n, 2), dtype=complex)
+    up[::sps] = s
+    h = np.sinc(np.arange(-4 * sps, 4 * sps + 1) / sps)
+    sig = np.stack([np.convolve(up[:, k], h, "same") for k in range(2)], axis=1)
+    sig = (0.05 * sig).astype(np.complex64)
+
+    cfg = SSFMConfig(Ltotal=100, Lspan=50, hz=0.5, alpha=0.2, D=16, gamma=1.3,
+                     Fs=fs, amp="ideal", nlprMethod=False, trapIters=1)
+    out64 = np.asarray(manakov_ssf(jnp.asarray(sig), cfg))
+
+    ex128, ey128 = _numpy_manakov_c128(
+        sig[:, 0], sig[:, 1], fs, 100, 50, 0.5, 0.2, 16, 1.3
+    )
+    ref = np.stack([ex128, ey128], axis=1)
+
+    err_pow = np.mean(np.abs(out64 - ref) ** 2)
+    sig_pow = np.mean(np.abs(ref) ** 2)
+    snr_db = 10 * np.log10(sig_pow / err_pow)
+    # ASE-limited links live below ~30 dB OSNR; the solver floor must sit
+    # far underneath (reference tests allow 20% BER error, i.e. ~0.1 dB)
+    assert snr_db > 40.0, f"c64 solver floor too high: {snr_db:.1f} dB"
