@@ -87,17 +87,21 @@ def run_numpy_baseline(n_steps_measure=20):
     ex = (f[:, 0, 0] + 1j * f[:, 0, 1]).astype(np.complex64)
     ey = (f[:, 1, 0] + 1j * f[:, 1, 1]).astype(np.complex64)
 
-    t0 = time.perf_counter()
-    for _ in range(n_steps_measure):
-        ex = np.fft.ifft(np.fft.fft(ex) * lin_op)
-        ey = np.fft.ifft(np.fft.fft(ey) * lin_op)
-        pch = np.abs(ex) ** 2 + np.abs(ey) ** 2
-        rot = np.exp(1j * (8 / 9) * GAMMA * pch * HZ)
-        ex *= rot
-        ey *= rot
-        ex = np.fft.ifft(np.fft.fft(ex) * lin_op)
-        ey = np.fft.ifft(np.fft.fft(ey) * lin_op)
-    dt = time.perf_counter() - t0
+    def measure():
+        nonlocal ex, ey
+        t0 = time.perf_counter()
+        for _ in range(n_steps_measure):
+            ex = np.fft.ifft(np.fft.fft(ex) * lin_op)
+            ey = np.fft.ifft(np.fft.fft(ey) * lin_op)
+            pch = np.abs(ex) ** 2 + np.abs(ey) ** 2
+            rot = np.exp(1j * (8 / 9) * GAMMA * pch * HZ)
+            ex *= rot
+            ey *= rot
+            ex = np.fft.ifft(np.fft.fft(ex) * lin_op)
+            ey = np.fft.ifft(np.fft.fft(ey) * lin_op)
+        return time.perf_counter() - t0
+
+    dt = min(measure() for _ in range(3))  # best-of-3: contention-robust
     total_steps = int(N_SPANS * L_SPAN / HZ)
     return N_SAMPLES / (dt * total_steps / n_steps_measure)
 
