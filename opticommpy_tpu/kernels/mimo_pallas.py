@@ -1,0 +1,180 @@
+"""Pallas TPU kernel for the 2x2 MIMO adaptive equalizer recurrence.
+
+The adaptive equalizer is the framework's hardest kernel (SURVEY.md §7): a
+true per-symbol recurrence (the taps updated at symbol k feed symbol k+1), so
+neither vmap nor the MXU can parallelize across time. The ``lax.scan``
+formulation pays XLA loop overhead per 240-FLOP iteration (~3 us/symbol on
+TPU). This kernel runs the whole recurrence inside one Pallas program:
+
+- the tap tensor H lives in a VMEM scratch register block for the entire
+  signal,
+- input windows are pre-gathered to a (N, 2*taps) layout (real/imag planes)
+  and streamed through VMEM by the grid pipeline in blocks,
+- each ``fori_loop`` iteration does the filter dot product, the
+  data-aided/decision-directed error, and the rank-1 LMS update on
+  (1, lanes) tiles.
+
+Covers the LMS family on a 2x2 system: data-aided for the first ``n_train``
+symbols, decision-directed afterwards (the reference's da/dd-lms training
+schedule). Interpret mode runs on CPU for tests.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+__all__ = ["mimo_lms_pallas"]
+
+
+def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
+            h0_re_ref, h0_im_ref, out_re_ref, out_im_ref, hout_re_ref,
+            hout_im_ref, h_re, h_im, *, block, width, mu, n_train, m_const):
+    """Grid step over symbol blocks; H carried in VMEM scratch across steps."""
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        h_re[...] = h0_re_ref[...]
+        h_im[...] = h0_im_ref[...]
+
+    def body(i, _):
+        w_re = win_re_ref[i, :]  # (width,) flattened taps x modes
+        w_im = win_im_ref[i, :]
+        # filter outputs for both output modes: o = sum(H[o] * w) (complex)
+        hr = h_re[...]  # (2, width)
+        hi = h_im[...]
+        o_re = jnp.sum(hr * w_re[None, :] - hi * w_im[None, :], axis=1)  # (2,)
+        o_im = jnp.sum(hr * w_im[None, :] + hi * w_re[None, :], axis=1)
+
+        k_global = b * block + i
+        # reference: data-aided before n_train, decision-directed after
+        r_re = ref_re_ref[i, :]  # (2,)
+        r_im = ref_im_ref[i, :]
+        d2 = (o_re[:, None] - cr_ref[0, :][None, :]) ** 2 + (
+            o_im[:, None] - ci_ref[0, :][None, :]
+        ) ** 2  # (2, M)
+        ind = jnp.argmin(d2, axis=1)
+        dec_re = cr_ref[0, :][ind]
+        dec_im = ci_ref[0, :][ind]
+        use_ref = k_global < n_train
+        t_re = jnp.where(use_ref, r_re, dec_re)
+        t_im = jnp.where(use_ref, r_im, dec_im)
+        e_re = t_re - o_re
+        e_im = t_im - o_im
+
+        # LMS rank-1 update: H[o] += mu * e[o] * conj(w)
+        upd_re = e_re[:, None] * w_re[None, :] + e_im[:, None] * w_im[None, :]
+        upd_im = e_im[:, None] * w_re[None, :] - e_re[:, None] * w_im[None, :]
+        h_re[...] = hr + mu * upd_re
+        h_im[...] = hi + mu * upd_im
+
+        out_re_ref[i, :] = o_re
+        out_im_ref[i, :] = o_im
+        return 0
+
+    jax.lax.fori_loop(0, block, body, 0)
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _():
+        hout_re_ref[...] = h_re[...]
+        hout_im_ref[...] = h_im[...]
+
+
+@partial(jax.jit,
+         static_argnames=("n_taps", "sps", "mu", "n_train", "block",
+                          "interpret"))
+def _mimo_lms_run(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
+                  h0_re, h0_im, n_taps, sps, mu, n_train, block=1024,
+                  interpret=False):
+    """sig_*: (N, 2) f32 at sps samples/symbol; ref_*: (nSym, 2) f32."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_sym = ref_re.shape[0]
+    n_blocks = int(np.ceil(n_sym / block))
+    n_pad_sym = n_blocks * block
+    l_pad = n_taps // 2
+    width = 2 * n_taps  # flattened (taps, modes)
+
+    def windows(x):
+        xp = jnp.pad(x, ((l_pad, l_pad + sps + n_taps + n_pad_sym * sps
+                          - x.shape[0]), (0, 0)))
+        idx = np.arange(n_pad_sym)[:, None] * sps + np.arange(n_taps)[None, :]
+        w = xp[jnp.asarray(idx)]  # (n_pad_sym, taps, 2)
+        return w.reshape(n_pad_sym, width)
+
+    w_re = windows(sig_re)
+    w_im = windows(sig_im)
+    rp_re = jnp.pad(ref_re, ((0, n_pad_sym - n_sym), (0, 0)))
+    rp_im = jnp.pad(ref_im, ((0, n_pad_sym - n_sym), (0, 0)))
+    m_const = int(const_re.shape[0])
+
+    kernel = partial(_kernel, block=block, width=width, mu=mu,
+                     n_train=n_train, m_const=m_const)
+    out_re, out_im, h_re, h_im = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block, width), lambda i: (i, 0)),
+            pl.BlockSpec((block, width), lambda i: (i, 0)),
+            pl.BlockSpec((block, 2), lambda i: (i, 0)),
+            pl.BlockSpec((block, 2), lambda i: (i, 0)),
+            pl.BlockSpec((1, m_const), lambda i: (0, 0)),
+            pl.BlockSpec((1, m_const), lambda i: (0, 0)),
+            pl.BlockSpec((2, width), lambda i: (0, 0)),
+            pl.BlockSpec((2, width), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, 2), lambda i: (i, 0)),
+            pl.BlockSpec((block, 2), lambda i: (i, 0)),
+            pl.BlockSpec((2, width), lambda i: (0, 0)),
+            pl.BlockSpec((2, width), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad_sym, 2), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad_sym, 2), jnp.float32),
+            jax.ShapeDtypeStruct((2, width), jnp.float32),
+            jax.ShapeDtypeStruct((2, width), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, width), jnp.float32),
+            pltpu.VMEM((2, width), jnp.float32),
+        ],
+        interpret=interpret,
+    )(w_re, w_im, rp_re, rp_im, const_re[None, :], const_im[None, :],
+      h0_re, h0_im)
+    return out_re[:n_sym], out_im[:n_sym], h_re, h_im
+
+
+def mimo_lms_pallas(sig, symb_ref, const, n_taps=15, sps=2, mu=2e-3,
+                    n_train=10000, block=1024, H0=None, interpret=False):
+    """Pallas 2x2 LMS equalizer: data-aided then decision-directed.
+
+    Parameters mirror :func:`opticommpy_tpu.dsp.mimo_adapt_equalizer` with
+    ``alg=('nlms'-style lms)`` semantics (un-normalized LMS). Returns
+    (equalized symbols (nSym, 2) complex, tap tensor H (2, 2, n_taps)).
+    """
+    sig = jnp.asarray(sig).astype(jnp.complex64)
+    symb_ref = jnp.asarray(symb_ref).astype(jnp.complex64)
+    const = np.asarray(const).astype(np.complex64)
+    if H0 is None:
+        h0 = np.zeros((2, 2, n_taps), dtype=np.complex64)
+        h0[0, 0, n_taps // 2] = 1.0
+        h0[1, 1, n_taps // 2] = 1.0
+    else:
+        h0 = np.asarray(H0).astype(np.complex64)
+    h0_flat = h0.transpose(0, 2, 1).reshape(2, 2 * n_taps)  # (o, taps*modes)
+
+    out_re, out_im, h_re, h_im = _mimo_lms_run(
+        sig.real.astype(jnp.float32), sig.imag.astype(jnp.float32),
+        symb_ref.real.astype(jnp.float32), symb_ref.imag.astype(jnp.float32),
+        jnp.asarray(const.real), jnp.asarray(const.imag),
+        jnp.asarray(h0_flat.real), jnp.asarray(h0_flat.imag),
+        int(n_taps), int(sps), float(mu), int(n_train), int(block),
+        bool(interpret),
+    )
+    y = out_re + 1j * out_im
+    h = (h_re + 1j * h_im).reshape(2, n_taps, 2).transpose(0, 2, 1)
+    return y, h

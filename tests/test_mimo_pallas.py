@@ -1,0 +1,56 @@
+"""Tests for the Pallas MIMO LMS equalizer kernel (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opticommpy_tpu.comm import modulate_gray
+from opticommpy_tpu.comm.modulation import gray_mapping
+from opticommpy_tpu.dsp import MIMOEqualizerConfig, mimo_adapt_equalizer
+from opticommpy_tpu.kernels.mimo_pallas import mimo_lms_pallas
+from opticommpy_tpu.ops import fir_filter, pnorm, pulse_shape, upsample
+
+
+def _qam_polmux(key, n_sym, sps=2):
+    symb = pnorm(modulate_gray(
+        jax.random.randint(key, (n_sym * 4 * 2,), 0, 2), 16, "qam"
+    ).reshape(n_sym, 2))
+    pulse = jnp.asarray(pulse_shape("rrc", sps, 256, 0.1))
+    sig = pnorm(fir_filter(pulse, upsample(symb, sps)))
+    return sig, symb
+
+
+def _norm_const():
+    c = gray_mapping(16, "qam")
+    return (c / np.sqrt(np.mean(np.abs(c) ** 2))).astype(np.complex64)
+
+
+def test_pallas_lms_matches_scan_ddlms():
+    """n_train=0 (pure decision-directed) must equal the scan dd-lms rule."""
+    key = jax.random.PRNGKey(0)
+    sig, symb = _qam_polmux(key, 3000)
+    const = _norm_const()
+    y_pl, H_pl = mimo_lms_pallas(sig, symb, const, n_taps=7, sps=2, mu=1e-3,
+                                 n_train=0, block=512, interpret=True)
+    cfg = MIMOEqualizerConfig(nTaps=7, mu=(1e-3,), SpS=2, alg=("dd-lms",), M=16)
+    y_sc, H_sc, _, _, _ = mimo_adapt_equalizer(sig, cfg, symb_ref=symb,
+                                               return_results=True)
+    n = min(y_pl.shape[0], y_sc.shape[0])
+    assert np.allclose(np.asarray(y_pl)[:n], np.asarray(y_sc)[:n], atol=2e-4)
+    assert np.allclose(np.asarray(H_pl), np.asarray(H_sc), atol=1e-3)
+
+
+def test_pallas_lms_converges_with_training():
+    key = jax.random.PRNGKey(1)
+    sig, symb = _qam_polmux(key, 6000)
+    theta = 0.35
+    J = jnp.array([[np.cos(theta), np.sin(theta)],
+                   [-np.sin(theta), np.cos(theta)]], dtype=jnp.complex64)
+    mixed = pnorm(sig @ J.T)
+    const = _norm_const()
+    y, H = mimo_lms_pallas(mixed, symb, const, n_taps=7, sps=2, mu=2e-3,
+                           n_train=4000, block=512, interpret=True)
+    tail_err = np.mean(np.abs(np.asarray(y)[-1500:] - np.asarray(symb)[-1500:]) ** 2)
+    head_err = np.mean(np.abs(np.asarray(y)[100:600] - np.asarray(symb)[100:600]) ** 2)
+    assert tail_err < 0.03
+    assert tail_err < 0.5 * head_err
