@@ -56,9 +56,13 @@ def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
         d2 = (o_re[:, None] - cr_ref[0, :][None, :]) ** 2 + (
             o_im[:, None] - ci_ref[0, :][None, :]
         ) ** 2  # (2, M)
-        ind = jnp.argmin(d2, axis=1)
-        dec_re = cr_ref[0, :][ind]
-        dec_im = ci_ref[0, :][ind]
+        # nearest constellation point via min-mask reduction (Mosaic supports
+        # only 2-D gathers; an argmin-indexed 1-D gather fails to lower)
+        ind = jnp.argmin(d2, axis=1)  # (2,)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (2, m_const), 1)
+        sel = (cols == ind[:, None]).astype(jnp.float32)
+        dec_re = jnp.sum(sel * cr_ref[0, :][None, :], axis=1)
+        dec_im = jnp.sum(sel * ci_ref[0, :][None, :], axis=1)
         use_ref = k_global < n_train
         t_re = jnp.where(use_ref, r_re, dec_re)
         t_im = jnp.where(use_ref, r_im, dec_im)
