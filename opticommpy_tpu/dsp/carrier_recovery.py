@@ -218,6 +218,13 @@ def cpr(sig, config: CPRConfig = CPRConfig(), symb_tx=None, pilot_ind=None,
             sig, config.Ts, config.Kv, config.tau1, config.tau2, const,
             symb_tx, pilot_ind,
         )
+    elif config.alg == "ddpll-pallas":
+        from opticommpy_tpu.kernels.ddpll_pallas import ddpll_pallas
+
+        phase_est = ddpll_pallas(
+            sig, config.Ts, config.Kv, config.tau1, config.tau2,
+            np.asarray(const), symb_tx, pilot_ind,
+        )
     elif config.alg == "viterbi":
         if config.constType == "psk":
             phase_est = viterbi(sig, config.N, config.M) + jnp.pi / 4

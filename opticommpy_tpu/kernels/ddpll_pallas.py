@@ -1,0 +1,158 @@
+"""Pallas TPU kernel for the decision-directed PLL carrier recovery.
+
+Like the MIMO equalizer, the DD-PLL (reference carrierRecovery.py:226) is a
+strict per-symbol recurrence: the phase estimate produced at symbol k rotates
+symbol k+1 before its decision. The XLA ``lax.scan`` form pays loop overhead
+per tiny iteration; this kernel runs the whole loop on-chip with the loop
+state (phase, loop-filter accumulators for both polarizations) in VMEM
+scratch, streaming symbol blocks through the grid pipeline.
+
+Supports pilot symbols via a per-symbol mask (1.0 -> use the provided
+reference symbol in the phase detector, 0.0 -> hard decision).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+__all__ = ["ddpll_pallas"]
+
+
+def _kernel(x_re_ref, x_im_ref, ref_re_ref, ref_im_ref, pilot_ref,
+            cr_ref, ci_ref, coef_ref, out_ref, state, *, block, m_const):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        state[...] = jnp.zeros_like(state)
+
+    def body(i, _):
+        st = state[...]  # (4, 2): rows = phi, u_f, u_d, unused
+        phi = st[0, :]
+        u_f = st[1, :]
+        u_d1 = st[2, :]
+
+        x_re = x_re_ref[i, :]  # (2,)
+        x_im = x_im_ref[i, :]
+        c = jnp.cos(phi)
+        s = jnp.sin(phi)
+        eo_re = x_re * c - x_im * s
+        eo_im = x_re * s + x_im * c
+
+        # slicer: pilot reference or nearest constellation point
+        d2 = (eo_re[:, None] - cr_ref[0, :][None, :]) ** 2 + (
+            eo_im[:, None] - ci_ref[0, :][None, :]
+        ) ** 2
+        ind = jnp.argmin(d2, axis=1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (2, m_const), 1)
+        sel = (cols == ind[:, None]).astype(jnp.float32)
+        dec_re = jnp.sum(sel * cr_ref[0, :][None, :], axis=1)
+        dec_im = jnp.sum(sel * ci_ref[0, :][None, :], axis=1)
+        pil = pilot_ref[i, :]
+        t_re = pil * ref_re_ref[i, :] + (1 - pil) * dec_re
+        t_im = pil * ref_im_ref[i, :] + (1 - pil) * dec_im
+
+        # phase detector: Im(eo * conj(target))
+        u_d = eo_im * t_re - eo_re * t_im
+        # 2nd-order loop filter: u_f' = a0*u_f + a1*u_d1 + a2*u_d
+        a = coef_ref[0, :]  # (4,): a0, a1, a2, Kv
+        u_f_new = a[0] * u_f + a[1] * u_d1 + a[2] * u_d
+        out_ref[i, :] = phi
+        phi_new = phi - a[3] * u_f_new
+
+        st = st.at[0, :].set(phi_new)
+        st = st.at[1, :].set(u_f_new)
+        st = st.at[2, :].set(u_d)
+        state[...] = st
+        return 0
+
+    jax.lax.fori_loop(0, block, body, 0)
+
+
+@partial(jax.jit, static_argnames=("block", "interpret"))
+def _ddpll_run(x_re, x_im, ref_re, ref_im, pilot, const_re, const_im, coefs,
+               block=2048, interpret=False):
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = x_re.shape[0]
+    n_blocks = int(np.ceil(n / block))
+    n_pad = n_blocks * block
+
+    def padrows(x):
+        return jnp.pad(x, ((0, n_pad - n), (0, 0)))
+
+    m_const = int(const_re.shape[0])
+    kernel = partial(_kernel, block=block, m_const=m_const)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block, 2), lambda i: (i, 0)),
+            pl.BlockSpec((block, 2), lambda i: (i, 0)),
+            pl.BlockSpec((block, 2), lambda i: (i, 0)),
+            pl.BlockSpec((block, 2), lambda i: (i, 0)),
+            pl.BlockSpec((block, 2), lambda i: (i, 0)),
+            pl.BlockSpec((1, m_const), lambda i: (0, 0)),
+            pl.BlockSpec((1, m_const), lambda i: (0, 0)),
+            pl.BlockSpec((1, 4), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block, 2), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((4, 2), jnp.float32)],
+        interpret=interpret,
+    )(padrows(x_re), padrows(x_im), padrows(ref_re), padrows(ref_im),
+      padrows(pilot), const_re[None, :], const_im[None, :], coefs[None, :])
+    return out[:n]
+
+
+def ddpll_pallas(sig, ts, kv, tau1, tau2, const_symb, symb_tx=None,
+                 pilot_ind=None, block=2048, interpret=False):
+    """Pallas DD-PLL (drop-in for carrier_recovery.ddpll).
+
+    Returns the per-symbol phase estimates, matching the scan formulation.
+    """
+    sig = jnp.asarray(sig)
+    squeeze = sig.ndim == 1
+    if squeeze:
+        sig = sig[:, None]
+    if sig.shape[1] == 1:
+        sig = jnp.concatenate([sig, jnp.zeros_like(sig)], axis=1)
+        two_mode_input = False
+    else:
+        two_mode_input = True
+    n = sig.shape[0]
+    const_symb = np.asarray(const_symb).astype(np.complex64)
+
+    if symb_tx is None:
+        ref = jnp.zeros((n, 2), dtype=jnp.complex64)
+    else:
+        ref = jnp.asarray(symb_tx).astype(jnp.complex64)
+        if ref.ndim == 1:
+            ref = ref[:, None]
+        if ref.shape[1] == 1:
+            ref = jnp.concatenate([ref, jnp.zeros_like(ref)], axis=1)
+    pilot = np.zeros((n, 2), dtype=np.float32)
+    if pilot_ind is not None:
+        pilot[np.asarray(pilot_ind)] = 1.0
+
+    a = np.array(
+        [
+            1.0,
+            ts / (2 * tau1) * (1 - 1 / np.tan(ts / (2 * tau2))),
+            ts / (2 * tau1) * (1 + 1 / np.tan(ts / (2 * tau2))),
+            kv,
+        ],
+        dtype=np.float32,
+    )
+    est = _ddpll_run(
+        sig.real.astype(jnp.float32), sig.imag.astype(jnp.float32),
+        ref.real.astype(jnp.float32), ref.imag.astype(jnp.float32),
+        jnp.asarray(pilot), jnp.asarray(const_symb.real),
+        jnp.asarray(const_symb.imag), jnp.asarray(a), block, interpret,
+    )
+    if not two_mode_input:
+        est = est[:, :1]
+    return est[:, 0] if squeeze else est

@@ -14,7 +14,7 @@ from opticommpy_tpu.comm import modulate_gray
 def _test_signal(n=3000, M=16, snr_db=22.0, lw_ts=2e-6, seed=0):
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
     rng = np.random.default_rng(seed)
-    bits = rng.integers(0, 2, size=n * 4)
+    bits = rng.integers(0, 2, size=n * int(np.log2(M)))
     tx = pnorm(modulate_gray(jnp.asarray(bits), M, "qam"))
     phi = phase_noise(k1, lw_ts, n, 1.0)
     noise = gaussian_complex_noise(k2, (n,), 10 ** (-snr_db / 10))
@@ -48,3 +48,34 @@ def test_bps_pallas_two_modes_and_odd_sizes():
     assert est.shape == (1111, 2)
     ref = bps(sig, 8, const, 32)
     assert np.mean(np.asarray(est) != np.asarray(ref)) < 0.02
+
+
+def test_ddpll_pallas_matches_scan():
+    from opticommpy_tpu.dsp import ddpll
+    from opticommpy_tpu.kernels.ddpll_pallas import ddpll_pallas
+
+    sig, phi = _test_signal(n=2000, M=4, snr_db=25.0, lw_ts=1e-7, seed=4)
+    sig2 = jnp.stack([sig, sig * jnp.exp(1j * 0.1)], axis=1)
+    const = pnorm(jnp.asarray(gray_mapping(4, "qam")))
+    ts = 1 / 32e9
+    t1 = t2 = 1 / (2 * np.pi * 10e6)
+    est_scan = np.asarray(ddpll(sig2, ts, 0.1, t1, t2, const))
+    est_pl = np.asarray(ddpll_pallas(sig2, ts, 0.1, t1, t2,
+                                     np.asarray(const), block=256,
+                                     interpret=True))
+    assert np.allclose(est_pl, est_scan, atol=2e-4)
+
+
+def test_ddpll_pallas_with_pilots():
+    from opticommpy_tpu.kernels.ddpll_pallas import ddpll_pallas
+
+    sig, phi = _test_signal(n=3000, M=16, snr_db=25.0, lw_ts=1e-7, seed=5)
+    const = pnorm(jnp.asarray(gray_mapping(16, "qam")))
+    tx = sig * jnp.exp(-1j * jnp.asarray(phi))  # noiseless-ish reference
+    ts = 1 / 32e9
+    t1 = t2 = 1 / (2 * np.pi * 10e6)
+    est = np.asarray(ddpll_pallas(sig, ts, 0.1, t1, t2, np.asarray(const),
+                                  symb_tx=tx, pilot_ind=np.arange(0, 3000, 20),
+                                  block=512, interpret=True))
+    err = np.angle(np.exp(1j * 4 * (est + np.asarray(phi)))) / 4
+    assert np.std(err[1000:]) < 0.08
