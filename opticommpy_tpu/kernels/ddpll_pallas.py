@@ -7,6 +7,10 @@ per tiny iteration; this kernel runs the whole loop on-chip with the loop
 state (phase, loop-filter accumulators for both polarizations) in VMEM
 scratch, streaming symbol blocks through the grid pipeline.
 
+Note: the (block, 2) block layout pads the 2-wide mode axis to the 128-lane
+tile, so keep ``block`` modest (<=512) to stay inside scoped VMEM; a
+transposed (2, block) layout would be denser and is a follow-up.
+
 Supports pilot symbols via a per-symbol mask (1.0 -> use the provided
 reference symbol in the phase detector, 0.0 -> hard decision).
 """
@@ -30,10 +34,10 @@ def _kernel(x_re_ref, x_im_ref, ref_re_ref, ref_im_ref, pilot_ref,
         state[...] = jnp.zeros_like(state)
 
     def body(i, _):
-        st = state[...]  # (4, 2): rows = phi, u_f, u_d, unused
-        phi = st[0, :]
-        u_f = st[1, :]
-        u_d1 = st[2, :]
+        # state rows: 0 = phi, 1 = u_f, 2 = u_d (previous)
+        phi = state[0, :]
+        u_f = state[1, :]
+        u_d1 = state[2, :]
 
         x_re = x_re_ref[i, :]  # (2,)
         x_im = x_im_ref[i, :]
@@ -61,12 +65,9 @@ def _kernel(x_re_ref, x_im_ref, ref_re_ref, ref_im_ref, pilot_ref,
         a = coef_ref[0, :]  # (4,): a0, a1, a2, Kv
         u_f_new = a[0] * u_f + a[1] * u_d1 + a[2] * u_d
         out_ref[i, :] = phi
-        phi_new = phi - a[3] * u_f_new
-
-        st = st.at[0, :].set(phi_new)
-        st = st.at[1, :].set(u_f_new)
-        st = st.at[2, :].set(u_d)
-        state[...] = st
+        state[0, :] = phi - a[3] * u_f_new
+        state[1, :] = u_f_new
+        state[2, :] = u_d
         return 0
 
     jax.lax.fori_loop(0, block, body, 0)
@@ -74,7 +75,7 @@ def _kernel(x_re_ref, x_im_ref, ref_re_ref, ref_im_ref, pilot_ref,
 
 @partial(jax.jit, static_argnames=("block", "interpret"))
 def _ddpll_run(x_re, x_im, ref_re, ref_im, pilot, const_re, const_im, coefs,
-               block=2048, interpret=False):
+               block=512, interpret=False):
     from jax.experimental.pallas import tpu as pltpu
 
     n = x_re.shape[0]
@@ -109,7 +110,7 @@ def _ddpll_run(x_re, x_im, ref_re, ref_im, pilot, const_re, const_im, coefs,
 
 
 def ddpll_pallas(sig, ts, kv, tau1, tau2, const_symb, symb_tx=None,
-                 pilot_ind=None, block=2048, interpret=False):
+                 pilot_ind=None, block=512, interpret=False):
     """Pallas DD-PLL (drop-in for carrier_recovery.ddpll).
 
     Returns the per-symbol phase estimates, matching the scan formulation.
