@@ -726,7 +726,9 @@ def dfe(sig, symb_ref, config: DFEConfig = DFEConfig()):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _volterra_core(wins, symb_ref, h1_0, h2_0, h3_0, cfg: VolterraConfig):
-    const = _norm_const(cfg.M, cfg.constType)
+    # real-valued equalizer: cast the constellation like the reference does
+    # (volterra, equalization.py:1906: constSymb.astype(prec=float32))
+    const = jnp.real(_norm_const(cfg.M, cfg.constType)).astype(jnp.float32)
     n_train = cfg.nTrain
     fulltime = cfg.trainingMode == "fulltime"
     t2 = (cfg.n1Taps - cfg.n2Taps) // 2

@@ -142,3 +142,51 @@ def test_compat_name_coverage():
     ]
     missing = [n for n in names if not hasattr(optic, n)]
     assert not missing, f"missing compat names: {missing}"
+
+
+def test_compat_equalizers_and_clock_paths():
+    """Exercise the compat wrappers for FFE/DFE/Volterra and clock recovery."""
+    rng = np.random.default_rng(0)
+    const = np.array([-3.0, -1.0, 1.0, 3.0]) / np.sqrt(5)
+    n = 6000
+    symb = const[rng.integers(0, 4, size=n)]
+    rx = np.convolve(symb, [0.1, 1.0, 0.2], "same") + 0.01 * rng.normal(size=n)
+
+    p = optic.parameters()
+    p.nTaps = 9
+    p.mu = 2e-3
+    p.nTrain = 3000
+    p.M = 4
+    p.constType = "pam"
+    y, f, mse = optic.ffe(rx, symb, p)
+    assert np.mean(np.asarray(mse)[-1000:]) < 0.05
+
+    pd = optic.parameters()
+    pd.nTapsFF = 9
+    pd.nTapsFB = 3
+    pd.mu = 2e-3
+    pd.nTrain = 3000
+    pd.M = 4
+    pd.constType = "pam"
+    y2, f2, b2, mse2 = optic.dfe(rx, symb, pd)
+    assert np.mean(np.asarray(mse2)[-1000:]) < 0.05
+
+    pv = optic.parameters()
+    pv.n1Taps = 7
+    pv.n2Taps = 3
+    pv.n3Taps = 2
+    pv.mu = 1e-3
+    pv.nTrain = 3000
+    pv.M = 4
+    pv.constType = "pam"
+    y3, h3, mse3 = optic.volterra(rx, symb, pv)
+    assert np.isfinite(np.asarray(mse3)).all()
+
+    # Gardner clock recovery through compat
+    sig = np.repeat(symb[:2000], 2).astype(np.complex64)
+    pg = optic.parameters()
+    pg.kp = 2e-3
+    pg.ki = 1e-5
+    pg.isNyquist = False
+    out = optic.gardnerClockRecovery(sig, pg)
+    assert np.asarray(out).shape[0] > 1000
