@@ -35,3 +35,8 @@ from opticommpy_tpu.dsp.synchronization import (  # noqa: F401
     SyncConfig,
     sync_data_sequences,
 )
+
+# Pallas TPU kernels for the serial recurrences (opt-in fast paths)
+from opticommpy_tpu.kernels.bps_pallas import bps_pallas  # noqa: F401
+from opticommpy_tpu.kernels.ddpll_pallas import ddpll_pallas  # noqa: F401
+from opticommpy_tpu.kernels.mimo_pallas import mimo_lms_pallas  # noqa: F401
