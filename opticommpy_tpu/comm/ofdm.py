@@ -15,6 +15,7 @@ import numpy as np
 __all__ = [
     "OFDMConfig",
     "hermit",
+    "zero_pad",
     "calc_symbol_rate",
     "modulate_ofdm",
     "demodulate_ofdm",
@@ -44,6 +45,11 @@ def hermit(v):
     return jnp.concatenate(
         [zero, v, zero, jnp.conj(v[..., ::-1])], axis=-1
     )
+
+
+def zero_pad(x, L):
+    """Pad ``x`` with ``L`` zeros on both ends (reference ofdm.py:46)."""
+    return jnp.pad(jnp.asarray(x), (L, L))
 
 
 def calc_symbol_rate(M, Rb, nfft, n_pilots, g, hermit_sym):

@@ -54,6 +54,44 @@ class parameters:
         for attr, value in self.__dict__.items():
             print(f"{attr}: {value}")
 
+    @staticmethod
+    def _eng(value):
+        # engineering notation (powers of 1000) for readable tables
+        import numbers
+
+        if isinstance(value, numbers.Real) and not isinstance(value, bool):
+            v = float(value)
+            if v != 0 and (abs(v) >= 1e4 or abs(v) < 1e-4):
+                import math
+
+                e = int(math.floor(math.log10(abs(v)) / 3) * 3)
+                pre = {-15: "f", -12: "p", -9: "n", -6: "u", -3: "m", 0: "",
+                       3: "k", 6: "M", 9: "G", 12: "T", 15: "P"}.get(e)
+                if pre is not None:
+                    return f"{v / 10**e:.1f} {pre}"
+        return value
+
+    def _rows(self):
+        for name, value in vars(self).items():
+            if isinstance(value, (list, tuple, np.ndarray)):
+                yield name, "Array"
+            else:
+                yield name, self._eng(value)
+
+    def table(self):
+        """Print a Markdown table of the parameters (reference utils.py:86)."""
+        out = "| Parameter Name | Value |\n|---|---|\n"
+        out += "".join(f"| {n} | {v} |\n" for n, v in self._rows())
+        print(out)
+
+    def latex_table(self):
+        """Print a LaTeX tabular of the parameters (reference utils.py:109)."""
+        out = "\\begin{tabular}{|c|c|}\n\\hline\n"
+        out += "Parameter Name & Value \\\\\n\\hline\n"
+        out += "".join(f"{n} & {v} \\\\\n\\hline\n" for n, v in self._rows())
+        out += "\\end{tabular}"
+        print(out)
+
     def copy(self):
         import copy as _copy
 
@@ -223,6 +261,7 @@ calcLinOSNR = _metrics.calc_lin_osnr
 
 # --- comm.ofdm -------------------------------------------------------------
 hermit = _ofdm.hermit
+zeroPad = _ofdm.zero_pad
 calcSymbolRate = _ofdm.calc_symbol_rate
 
 

@@ -190,3 +190,15 @@ def test_compat_equalizers_and_clock_paths():
     pg.isNyquist = False
     out = optic.gardnerClockRecovery(sig, pg)
     assert np.asarray(out).shape[0] > 1000
+
+
+def test_parameters_table_methods(capsys):
+    from opticommpy_tpu.compat import parameters
+
+    p = parameters()
+    p.Rs = 32e9
+    p.taps = np.arange(4)
+    p.table()
+    p.latex_table()
+    out = capsys.readouterr().out
+    assert "32.0 G" in out and "Array" in out and "tabular" in out

@@ -11,6 +11,7 @@ from opticommpy_tpu.comm import modulate_gray
 from opticommpy_tpu.comm.ofdm import (
     OFDMConfig,
     calc_symbol_rate,
+    zero_pad,
     demodulate_ofdm,
     hermit,
     modulate_ofdm,
@@ -85,3 +86,9 @@ def test_calc_symbol_rate():
     # fewer data carriers -> higher required symbol rate
     rs2 = calc_symbol_rate(16, 100e9, 512, 64, 32, False)
     assert rs2 > rs
+
+
+def test_zero_pad():
+    out = np.asarray(zero_pad(np.array([1.0, 2.0, 3.0]), 2))
+    assert out.shape == (7,)
+    assert np.array_equal(out, [0, 0, 1, 2, 3, 0, 0])
