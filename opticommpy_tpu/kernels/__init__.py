@@ -2,11 +2,15 @@
 
 Built where the recurrence defeats XLA's batching (true per-symbol state):
 - :mod:`bps_pallas` — blind phase search with the distance pipeline in VMEM.
-- :mod:`mimo_pallas` — 2x2 LMS adaptive equalizer recurrence (taps resident
-  in VMEM scratch across the whole signal; 3.7x the XLA scan on TPU v5e).
+- :mod:`mimo_pallas` — 2x2 adaptive equalizer recurrence, lms/nlms/cma/rde
+  rules (taps resident in VMEM scratch across the whole signal; 3.7x the XLA
+  scan on TPU v5e).
 - :mod:`ddpll_pallas` — decision-directed PLL recurrence with pilots.
 """
 
 from opticommpy_tpu.kernels.bps_pallas import bps_pallas  # noqa: F401
 from opticommpy_tpu.kernels.ddpll_pallas import ddpll_pallas  # noqa: F401
-from opticommpy_tpu.kernels.mimo_pallas import mimo_lms_pallas  # noqa: F401
+from opticommpy_tpu.kernels.mimo_pallas import (  # noqa: F401
+    mimo_eq_pallas,
+    mimo_lms_pallas,
+)

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
+from opticommpy_tpu.kernels._util import split_ri
+
 __all__ = ["bps_pallas"]
 
 
@@ -115,20 +117,17 @@ def bps_pallas(sig, n_half, const_symb, n_phases, block=512, interpret=False):
     Parameters match :func:`opticommpy_tpu.dsp.carrier_recovery.bps`; returns
     the estimated phases in [0, pi/2) per symbol (and mode).
     """
-    sig = jnp.asarray(sig)
-    squeeze = sig.ndim == 1
+    sig_re, sig_im = split_ri(sig)  # no complex host->device transfer
+    squeeze = sig_re.ndim == 1
     if squeeze:
-        sig = sig[:, None]
-    const_symb = jnp.asarray(const_symb)
+        sig_re, sig_im = sig_re[:, None], sig_im[:, None]
+    c_re, c_im = split_ri(const_symb)
     phases = (jnp.arange(n_phases) * (jnp.pi / 2) / n_phases).astype(jnp.float32)
 
     outs = []
-    for k in range(sig.shape[1]):
+    for k in range(sig_re.shape[1]):
         idx = _bps_pallas_1d(
-            sig[:, k].real.astype(jnp.float32),
-            sig[:, k].imag.astype(jnp.float32),
-            const_symb.real.astype(jnp.float32),
-            const_symb.imag.astype(jnp.float32),
+            sig_re[:, k], sig_im[:, k], c_re, c_im,
             int(n_half), int(n_phases), block=block, interpret=interpret,
         )
         outs.append(phases[idx])

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
+from opticommpy_tpu.kernels._util import split_ri
+
 __all__ = ["ddpll_pallas"]
 
 
@@ -115,26 +117,28 @@ def ddpll_pallas(sig, ts, kv, tau1, tau2, const_symb, symb_tx=None,
 
     Returns the per-symbol phase estimates, matching the scan formulation.
     """
-    sig = jnp.asarray(sig)
-    squeeze = sig.ndim == 1
+    sig_re, sig_im = split_ri(sig)  # no complex host->device transfer
+    squeeze = sig_re.ndim == 1
     if squeeze:
-        sig = sig[:, None]
-    if sig.shape[1] == 1:
-        sig = jnp.concatenate([sig, jnp.zeros_like(sig)], axis=1)
+        sig_re, sig_im = sig_re[:, None], sig_im[:, None]
+    if sig_re.shape[1] == 1:
+        sig_re = jnp.concatenate([sig_re, jnp.zeros_like(sig_re)], axis=1)
+        sig_im = jnp.concatenate([sig_im, jnp.zeros_like(sig_im)], axis=1)
         two_mode_input = False
     else:
         two_mode_input = True
-    n = sig.shape[0]
+    n = sig_re.shape[0]
     const_symb = np.asarray(const_symb).astype(np.complex64)
 
     if symb_tx is None:
-        ref = jnp.zeros((n, 2), dtype=jnp.complex64)
+        ref_re = ref_im = jnp.zeros((n, 2), dtype=jnp.float32)
     else:
-        ref = jnp.asarray(symb_tx).astype(jnp.complex64)
-        if ref.ndim == 1:
-            ref = ref[:, None]
-        if ref.shape[1] == 1:
-            ref = jnp.concatenate([ref, jnp.zeros_like(ref)], axis=1)
+        ref_re, ref_im = split_ri(symb_tx)
+        if ref_re.ndim == 1:
+            ref_re, ref_im = ref_re[:, None], ref_im[:, None]
+        if ref_re.shape[1] == 1:
+            ref_re = jnp.concatenate([ref_re, jnp.zeros_like(ref_re)], axis=1)
+            ref_im = jnp.concatenate([ref_im, jnp.zeros_like(ref_im)], axis=1)
     pilot = np.zeros((n, 2), dtype=np.float32)
     if pilot_ind is not None:
         pilot[np.asarray(pilot_ind)] = 1.0
@@ -149,8 +153,7 @@ def ddpll_pallas(sig, ts, kv, tau1, tau2, const_symb, symb_tx=None,
         dtype=np.float32,
     )
     est = _ddpll_run(
-        sig.real.astype(jnp.float32), sig.imag.astype(jnp.float32),
-        ref.real.astype(jnp.float32), ref.imag.astype(jnp.float32),
+        sig_re, sig_im, ref_re, ref_im,
         jnp.asarray(pilot), jnp.asarray(const_symb.real),
         jnp.asarray(const_symb.imag), jnp.asarray(a), block, interpret,
     )

@@ -11,12 +11,20 @@ TPU). This kernel runs the whole recurrence inside one Pallas program:
 - input windows are pre-gathered to a (N, 2*taps) layout (real/imag planes)
   and streamed through VMEM by the grid pipeline in blocks,
 - each ``fori_loop`` iteration does the filter dot product, the
-  data-aided/decision-directed error, and the rank-1 LMS update on
-  (1, lanes) tiles.
+  rule-specific error, and the rank-1 gradient update on (1, lanes) tiles.
 
-Covers the LMS family on a 2x2 system: data-aided for the first ``n_train``
-symbols, decision-directed afterwards (the reference's da/dd-lms training
-schedule). Interpret mode runs on CPU for tests.
+Update rules (selected at trace time via the static ``alg`` argument, so each
+variant compiles to its own straight-line kernel — mirroring the reference's
+per-rule Numba kernels equalization.py:519-973):
+
+- ``'lms'``   — data-aided for the first ``n_train`` symbols, decision-
+  directed afterwards (the reference's da/dd-lms training schedule).
+- ``'nlms'``  — same error, window normalized by its per-input-mode power.
+- ``'cma'``   — blind constant-modulus: e = (R - |y|^2) y.
+- ``'rde'``   — blind radius-directed: e = (R_dec^2 - |y|^2) y with R_dec the
+  nearest constellation radius.
+
+Interpret mode runs on CPU for tests.
 """
 
 from functools import partial
@@ -26,12 +34,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-__all__ = ["mimo_lms_pallas"]
+from opticommpy_tpu.kernels._util import split_ri
+
+__all__ = ["mimo_lms_pallas", "mimo_eq_pallas"]
 
 
 def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
-            h0_re_ref, h0_im_ref, out_re_ref, out_im_ref, hout_re_ref,
-            hout_im_ref, h_re, h_im, *, block, width, mu, n_train, m_const):
+            aux_ref, h0_re_ref, h0_im_ref, out_re_ref, out_im_ref,
+            hout_re_ref, hout_im_ref, h_re, h_im, *, block, width, mu,
+            n_train, m_const, alg, m_aux):
     """Grid step over symbol blocks; H carried in VMEM scratch across steps."""
     b = pl.program_id(0)
 
@@ -49,29 +60,65 @@ def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
         o_re = jnp.sum(hr * w_re[None, :] - hi * w_im[None, :], axis=1)  # (2,)
         o_im = jnp.sum(hr * w_im[None, :] + hi * w_re[None, :], axis=1)
 
-        k_global = b * block + i
-        # reference: data-aided before n_train, decision-directed after
-        r_re = ref_re_ref[i, :]  # (2,)
-        r_im = ref_im_ref[i, :]
-        d2 = (o_re[:, None] - cr_ref[0, :][None, :]) ** 2 + (
-            o_im[:, None] - ci_ref[0, :][None, :]
-        ) ** 2  # (2, M)
-        # nearest constellation point via min-mask reduction (Mosaic supports
-        # only 2-D gathers; an argmin-indexed 1-D gather fails to lower)
-        ind = jnp.argmin(d2, axis=1)  # (2,)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (2, m_const), 1)
-        sel = (cols == ind[:, None]).astype(jnp.float32)
-        dec_re = jnp.sum(sel * cr_ref[0, :][None, :], axis=1)
-        dec_im = jnp.sum(sel * ci_ref[0, :][None, :], axis=1)
-        use_ref = k_global < n_train
-        t_re = jnp.where(use_ref, r_re, dec_re)
-        t_im = jnp.where(use_ref, r_im, dec_im)
-        e_re = t_re - o_re
-        e_im = t_im - o_im
+        if alg in ("lms", "nlms"):
+            k_global = b * block + i
+            # reference: data-aided before n_train, decision-directed after
+            r_re = ref_re_ref[i, :]  # (2,)
+            r_im = ref_im_ref[i, :]
+            d2 = (o_re[:, None] - cr_ref[0, :][None, :]) ** 2 + (
+                o_im[:, None] - ci_ref[0, :][None, :]
+            ) ** 2  # (2, M)
+            # nearest constellation point via min-mask reduction (Mosaic
+            # supports only 2-D gathers; an argmin-indexed 1-D gather fails
+            # to lower)
+            ind = jnp.argmin(d2, axis=1)  # (2,)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (2, m_const), 1)
+            sel = (cols == ind[:, None]).astype(jnp.float32)
+            dec_re = jnp.sum(sel * cr_ref[0, :][None, :], axis=1)
+            dec_im = jnp.sum(sel * ci_ref[0, :][None, :], axis=1)
+            use_ref = k_global < n_train
+            t_re = jnp.where(use_ref, r_re, dec_re)
+            t_im = jnp.where(use_ref, r_im, dec_im)
+            e_re = t_re - o_re
+            e_im = t_im - o_im
+        elif alg == "cma":
+            # e = (R - |y|^2) * y ; R in aux_ref[0, 0]
+            err = aux_ref[0, 0] - (o_re**2 + o_im**2)  # (2,)
+            e_re = err * o_re
+            e_im = err * o_im
+        elif alg == "rde":
+            # nearest radius among aux_ref[0, :] (constellation radii)
+            r = jnp.sqrt(o_re**2 + o_im**2)  # (2,)
+            d2 = (r[:, None] - aux_ref[0, :][None, :]) ** 2  # (2, m_aux)
+            ind = jnp.argmin(d2, axis=1)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (2, m_aux), 1)
+            sel = (cols == ind[:, None]).astype(jnp.float32)
+            r_dec = jnp.sum(sel * aux_ref[0, :][None, :], axis=1)
+            err = r_dec**2 - (o_re**2 + o_im**2)
+            e_re = err * o_re
+            e_im = err * o_im
+        else:
+            raise ValueError(f"unknown alg {alg}")
 
-        # LMS rank-1 update: H[o] += mu * e[o] * conj(w)
-        upd_re = e_re[:, None] * w_re[None, :] + e_im[:, None] * w_im[None, :]
-        upd_im = e_im[:, None] * w_re[None, :] - e_re[:, None] * w_im[None, :]
+        # rank-1 gradient update: H[o] += mu * e[o] * conj(w)
+        if alg == "nlms":
+            # normalize by the per-input-mode window power (reference
+            # nlmsUp equalization.py:519): lanes alternate mode0/mode1
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)[0, :]
+            m0 = (lane % 2 == 0).astype(jnp.float32)
+            p_mode = m0 * jnp.sum((w_re**2 + w_im**2) * m0) + (1.0 - m0) * (
+                jnp.sum((w_re**2 + w_im**2) * (1.0 - m0))
+            )  # (width,) power of the mode owning each lane
+            # zero-padded tail windows have zero power — guard the division
+            # (the numerator is zero there, so the update is a no-op)
+            p_mode = jnp.maximum(p_mode, 1e-12)
+            g_re = w_re / p_mode
+            g_im = w_im / p_mode
+        else:
+            g_re = w_re
+            g_im = w_im
+        upd_re = e_re[:, None] * g_re[None, :] + e_im[:, None] * g_im[None, :]
+        upd_im = e_im[:, None] * g_re[None, :] - e_re[:, None] * g_im[None, :]
         h_re[...] = hr + mu * upd_re
         h_im[...] = hi + mu * upd_im
 
@@ -88,11 +135,11 @@ def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
 
 
 @partial(jax.jit,
-         static_argnames=("n_taps", "sps", "mu", "n_train", "block",
+         static_argnames=("n_taps", "sps", "mu", "n_train", "block", "alg",
                           "interpret"))
-def _mimo_lms_run(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
-                  h0_re, h0_im, n_taps, sps, mu, n_train, block=1024,
-                  interpret=False):
+def _mimo_eq_run(sig_re, sig_im, ref_re, ref_im, const_re, const_im, aux,
+                 h0_re, h0_im, n_taps, sps, mu, n_train, block=1024,
+                 alg="lms", interpret=False):
     """sig_*: (N, 2) f32 at sps samples/symbol; ref_*: (nSym, 2) f32."""
     from jax.experimental.pallas import tpu as pltpu
 
@@ -114,9 +161,10 @@ def _mimo_lms_run(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
     rp_re = jnp.pad(ref_re, ((0, n_pad_sym - n_sym), (0, 0)))
     rp_im = jnp.pad(ref_im, ((0, n_pad_sym - n_sym), (0, 0)))
     m_const = int(const_re.shape[0])
+    m_aux = int(aux.shape[0])
 
     kernel = partial(_kernel, block=block, width=width, mu=mu,
-                     n_train=n_train, m_const=m_const)
+                     n_train=n_train, m_const=m_const, alg=alg, m_aux=m_aux)
     out_re, out_im, h_re, h_im = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -127,6 +175,7 @@ def _mimo_lms_run(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
             pl.BlockSpec((block, 2), lambda i: (i, 0)),
             pl.BlockSpec((1, m_const), lambda i: (0, 0)),
             pl.BlockSpec((1, m_const), lambda i: (0, 0)),
+            pl.BlockSpec((1, m_aux), lambda i: (0, 0)),
             pl.BlockSpec((2, width), lambda i: (0, 0)),
             pl.BlockSpec((2, width), lambda i: (0, 0)),
         ],
@@ -148,21 +197,29 @@ def _mimo_lms_run(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
         ],
         interpret=interpret,
     )(w_re, w_im, rp_re, rp_im, const_re[None, :], const_im[None, :],
-      h0_re, h0_im)
+      aux[None, :], h0_re, h0_im)
     return out_re[:n_sym], out_im[:n_sym], h_re, h_im
 
 
-def mimo_lms_pallas(sig, symb_ref, const, n_taps=15, sps=2, mu=2e-3,
-                    n_train=10000, block=1024, H0=None, interpret=False):
-    """Pallas 2x2 LMS equalizer: data-aided then decision-directed.
+def mimo_eq_pallas(sig, symb_ref, const, alg="lms", n_taps=15, sps=2, mu=2e-3,
+                   n_train=10000, block=1024, H0=None, interpret=False):
+    """Pallas 2x2 adaptive equalizer with selectable update rule.
 
-    Parameters mirror :func:`opticommpy_tpu.dsp.mimo_adapt_equalizer` with
-    ``alg=('nlms'-style lms)`` semantics (un-normalized LMS). Returns
-    (equalized symbols (nSym, 2) complex, tap tensor H (2, 2, n_taps)).
+    ``alg``: 'lms' (data-aided -> decision-directed), 'nlms' (normalized),
+    'cma' (blind constant-modulus), 'rde' (blind radius-directed). Parameters
+    mirror :func:`opticommpy_tpu.dsp.mimo_adapt_equalizer`. For the blind
+    rules ``symb_ref`` may be None. Returns (equalized symbols (nSym, 2)
+    complex, tap tensor H (2, 2, n_taps)).
     """
-    sig = jnp.asarray(sig).astype(jnp.complex64)
-    symb_ref = jnp.asarray(symb_ref).astype(jnp.complex64)
+    sig_re, sig_im = split_ri(sig)  # no complex host->device transfer
     const = np.asarray(const).astype(np.complex64)
+    if symb_ref is None:
+        if alg in ("lms", "nlms"):
+            raise ValueError("symb_ref is required for alg='lms'/'nlms'")
+        n_sym = sig_re.shape[0] // sps
+        ref_re = ref_im = jnp.zeros((n_sym, 2), dtype=jnp.float32)
+    else:
+        ref_re, ref_im = split_ri(symb_ref)
     if H0 is None:
         h0 = np.zeros((2, 2, n_taps), dtype=np.complex64)
         h0[0, 0, n_taps // 2] = 1.0
@@ -171,14 +228,32 @@ def mimo_lms_pallas(sig, symb_ref, const, n_taps=15, sps=2, mu=2e-3,
         h0 = np.asarray(H0).astype(np.complex64)
     h0_flat = h0.transpose(0, 2, 1).reshape(2, 2 * n_taps)  # (o, taps*modes)
 
-    out_re, out_im, h_re, h_im = _mimo_lms_run(
-        sig.real.astype(jnp.float32), sig.imag.astype(jnp.float32),
-        symb_ref.real.astype(jnp.float32), symb_ref.imag.astype(jnp.float32),
-        jnp.asarray(const.real), jnp.asarray(const.imag),
+    # rule-specific host constants (reference cmaUp:788 / rdeUp:846)
+    if alg == "cma":
+        r_cma = np.mean(np.abs(const) ** 4) / np.mean(np.abs(const) ** 2)
+        aux = np.array([r_cma], dtype=np.float32)
+    elif alg == "rde":
+        aux = np.unique(np.round(np.abs(const), 6)).astype(np.float32)
+    else:
+        aux = np.zeros(1, dtype=np.float32)
+
+    out_re, out_im, h_re, h_im = _mimo_eq_run(
+        sig_re, sig_im, ref_re, ref_im,
+        jnp.asarray(const.real), jnp.asarray(const.imag), jnp.asarray(aux),
         jnp.asarray(h0_flat.real), jnp.asarray(h0_flat.imag),
-        int(n_taps), int(sps), float(mu), int(n_train), int(block),
+        int(n_taps), int(sps), float(mu), int(n_train), int(block), str(alg),
         bool(interpret),
     )
     y = out_re + 1j * out_im
     h = (h_re + 1j * h_im).reshape(2, n_taps, 2).transpose(0, 2, 1)
     return y, h
+
+
+def mimo_lms_pallas(sig, symb_ref, const, n_taps=15, sps=2, mu=2e-3,
+                    n_train=10000, block=1024, H0=None, interpret=False):
+    """Pallas 2x2 LMS equalizer: data-aided then decision-directed.
+
+    Back-compat wrapper for :func:`mimo_eq_pallas` with ``alg='lms'``.
+    """
+    return mimo_eq_pallas(sig, symb_ref, const, "lms", n_taps, sps, mu,
+                          n_train, block, H0, interpret)

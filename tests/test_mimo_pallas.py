@@ -54,3 +54,52 @@ def test_pallas_lms_converges_with_training():
     head_err = np.mean(np.abs(np.asarray(y)[100:600] - np.asarray(symb)[100:600]) ** 2)
     assert tail_err < 0.03
     assert tail_err < 0.5 * head_err
+
+
+def test_pallas_cma_matches_scan():
+    key = jax.random.PRNGKey(2)
+    sig, symb = _qam_polmux(key, 3000)
+    const = _norm_const()
+    from opticommpy_tpu.kernels.mimo_pallas import mimo_eq_pallas
+
+    y_pl, H_pl = mimo_eq_pallas(sig, None, const, alg="cma", n_taps=7, sps=2,
+                                mu=1e-3, block=512, interpret=True)
+    cfg = MIMOEqualizerConfig(nTaps=7, mu=(1e-3,), SpS=2, alg=("cma",), M=16)
+    y_sc, H_sc, _, _, _ = mimo_adapt_equalizer(sig, cfg, symb_ref=symb,
+                                               return_results=True)
+    n = min(y_pl.shape[0], y_sc.shape[0])
+    assert np.allclose(np.asarray(y_pl)[:n], np.asarray(y_sc)[:n], atol=2e-4)
+    assert np.allclose(np.asarray(H_pl), np.asarray(H_sc), atol=1e-3)
+
+
+def test_pallas_rde_matches_scan():
+    key = jax.random.PRNGKey(3)
+    sig, symb = _qam_polmux(key, 3000)
+    const = _norm_const()
+    from opticommpy_tpu.kernels.mimo_pallas import mimo_eq_pallas
+
+    y_pl, H_pl = mimo_eq_pallas(sig, None, const, alg="rde", n_taps=7, sps=2,
+                                mu=1e-3, block=512, interpret=True)
+    cfg = MIMOEqualizerConfig(nTaps=7, mu=(1e-3,), SpS=2, alg=("rde",), M=16)
+    y_sc, H_sc, _, _, _ = mimo_adapt_equalizer(sig, cfg, symb_ref=symb,
+                                               return_results=True)
+    n = min(y_pl.shape[0], y_sc.shape[0])
+    assert np.allclose(np.asarray(y_pl)[:n], np.asarray(y_sc)[:n], atol=2e-4)
+    assert np.allclose(np.asarray(H_pl), np.asarray(H_sc), atol=1e-3)
+
+
+def test_pallas_nlms_matches_scan():
+    key = jax.random.PRNGKey(4)
+    sig, symb = _qam_polmux(key, 3000)
+    const = _norm_const()
+    from opticommpy_tpu.kernels.mimo_pallas import mimo_eq_pallas
+
+    y_pl, H_pl = mimo_eq_pallas(sig, symb, const, alg="nlms", n_taps=7, sps=2,
+                                mu=1e-3, n_train=10**9, block=512,
+                                interpret=True)
+    cfg = MIMOEqualizerConfig(nTaps=7, mu=(1e-3,), SpS=2, alg=("nlms",), M=16)
+    y_sc, H_sc, _, _, _ = mimo_adapt_equalizer(sig, cfg, symb_ref=symb,
+                                               return_results=True)
+    n = min(y_pl.shape[0], y_sc.shape[0])
+    assert np.allclose(np.asarray(y_pl)[:n], np.asarray(y_sc)[:n], atol=2e-4)
+    assert np.allclose(np.asarray(H_pl), np.asarray(H_sc), atol=1e-3)
