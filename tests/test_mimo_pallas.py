@@ -103,3 +103,39 @@ def test_pallas_nlms_matches_scan():
     n = min(y_pl.shape[0], y_sc.shape[0])
     assert np.allclose(np.asarray(y_pl)[:n], np.asarray(y_sc)[:n], atol=2e-4)
     assert np.allclose(np.asarray(H_pl), np.asarray(H_sc), atol=1e-3)
+
+
+def test_pallas_rde_qpsk_single_radius():
+    """QPSK has one radius: rde reduces to cma with R=1 (pnorm'd ring)."""
+    key = jax.random.PRNGKey(5)
+    n_sym = 2000
+    symb = pnorm(modulate_gray(
+        jax.random.randint(key, (n_sym * 2 * 2,), 0, 2), 4, "qam"
+    ).reshape(n_sym, 2))
+    pulse = jnp.asarray(pulse_shape("rrc", 2, 256, 0.1))
+    sig = pnorm(fir_filter(pulse, upsample(symb, 2)))
+    c4 = gray_mapping(4, "qam")
+    c4 = (c4 / np.sqrt(np.mean(np.abs(c4) ** 2))).astype(np.complex64)
+    from opticommpy_tpu.kernels.mimo_pallas import mimo_eq_pallas
+
+    y_rde, _ = mimo_eq_pallas(sig, None, c4, alg="rde", n_taps=7, sps=2,
+                              mu=2e-3, block=512, interpret=True)
+    y_cma, _ = mimo_eq_pallas(sig, None, c4, alg="cma", n_taps=7, sps=2,
+                              mu=2e-3, block=512, interpret=True)
+    # R_cma = E|c|^4 / E|c|^2 = 1 = single radius^2 -> identical recursions
+    assert np.allclose(np.asarray(y_rde), np.asarray(y_cma), atol=1e-5)
+
+
+def test_pallas_lms_sps1():
+    key = jax.random.PRNGKey(6)
+    n_sym = 2000
+    symb = pnorm(modulate_gray(
+        jax.random.randint(key, (n_sym * 4 * 2,), 0, 2), 16, "qam"
+    ).reshape(n_sym, 2))
+    const = _norm_const()
+    from opticommpy_tpu.kernels.mimo_pallas import mimo_eq_pallas
+
+    y, H = mimo_eq_pallas(symb, symb, const, alg="lms", n_taps=5, sps=1,
+                          mu=2e-3, n_train=n_sym, block=256, interpret=True)
+    err = np.mean(np.abs(np.asarray(y)[-500:] - np.asarray(symb)[-500:]) ** 2)
+    assert err < 0.01
