@@ -57,6 +57,11 @@ class CoherentDSPConfig:
     nTrain: int = 10000
     M: int = 16
     blockUpdate: int = 1
+    # 'scan' runs mimo_adapt_equalizer (any alg tuple, any mode count);
+    # 'pallas' runs the VMEM-resident 2x2 LMS kernel (data-aided for nTrain
+    # symbols then decision-directed) — fastest true per-symbol adaptation
+    # on TPU; on CPU backends it runs in Pallas interpret mode.
+    eqBackend: str = "scan"
     # carrier recovery
     cpr_window: int = 75
     cpr_phases: int = 64
@@ -87,14 +92,32 @@ def coherent_dsp_chain(sig, symb_ref, config: CoherentDSPConfig = CoherentDSPCon
     x = pnorm(x)
 
     n_sym = symb_ref.shape[0]
-    eq_cfg = MIMOEqualizerConfig(
-        nTaps=cfg.nTaps, SpS=cfg.SpS_dsp, mu=cfg.mu, alg=cfg.alg,
-        L=(cfg.nTrain, n_sym - cfg.nTrain), M=cfg.M, numIter=2,
-        blockUpdate=cfg.blockUpdate,
-    )
-    y = mimo_adapt_equalizer(x, eq_cfg, symb_ref=pnorm(symb_ref))
+    if cfg.eqBackend == "pallas":
+        from opticommpy_tpu.kernels.mimo_pallas import mimo_eq_pallas
 
-    if cfg.runFOE:
+        # LMS is phase-sensitive: remove the carrier frequency offset BEFORE
+        # adaptation (the scan path tolerates it because its first stage is
+        # the radius-directed da-rde). 4th-power FOE works on the
+        # oversampled signal with a narrow-rolloff matched filter.
+        if cfg.runFOE:
+            x, _ = fourth_power_foe(x, fs_dsp, 4)
+            x = pnorm(x)
+        const_np = gray_mapping(cfg.M, "qam")
+        const_np = const_np / np.sqrt(np.mean(np.abs(const_np) ** 2))
+        y, _ = mimo_eq_pallas(
+            x, pnorm(symb_ref), const_np, alg="lms", n_taps=cfg.nTaps,
+            sps=cfg.SpS_dsp, mu=float(cfg.mu[0]), n_train=cfg.nTrain,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        eq_cfg = MIMOEqualizerConfig(
+            nTaps=cfg.nTaps, SpS=cfg.SpS_dsp, mu=cfg.mu, alg=cfg.alg,
+            L=(cfg.nTrain, n_sym - cfg.nTrain), M=cfg.M, numIter=2,
+            blockUpdate=cfg.blockUpdate,
+        )
+        y = mimo_adapt_equalizer(x, eq_cfg, symb_ref=pnorm(symb_ref))
+
+    if cfg.runFOE and cfg.eqBackend != "pallas":  # pallas: FOE ran pre-EQ
         y, _ = fourth_power_foe(y, cfg.Rs, 4)
         y = pnorm(y)
     const = gray_mapping(cfg.M, "qam")

@@ -55,3 +55,32 @@ def test_coherent_pipeline_one_jit():
     y_b, _ = jax.jit(lambda s, d: coherent_dsp_chain(s, d, cfg_b))(sig_rx, d_ref)
     ber_b, _, _ = fast_ber_calc(y_b[disc:-100], d_ref[disc:-100], 16, "qam")
     assert float(jnp.max(ber_b)) < 1e-2, np.asarray(ber_b)
+
+
+def test_coherent_pipeline_pallas_backend():
+    """The same one-jit chain with the Pallas 2x2 LMS equalizer backend."""
+    key = jax.random.PRNGKey(34)
+    k_tx, k_ch, k_lo, k_rx = jax.random.split(key, 4)
+    cfg_tx = WDMTxConfig(M=16, Rs=32e9, SpS=8, nBits=2**15, nChannels=1,
+                         nPolModes=2, nFilterTaps=512, pulseRollOff=0.01,
+                         powerPerChannel=(0.0,), laserLinewidth=50e3)
+    fs = cfg_tx.Fs
+    sig_tx, symb_tx, _ = simple_wdm_tx(k_tx, cfg_tx)
+    cfg_ch = SSFMConfig(Ltotal=100, Lspan=50, alpha=0.2, D=16, gamma=1.3,
+                        Fs=fs, amp="edfa", nlprMethod=True)
+    sig_ch = manakov_ssf(sig_tx, cfg_ch, k_ch)
+    lo = basic_laser_model(LaserConfig(P=10.0, lw=50e3, Ns=sig_ch.shape[0],
+                                       Fs=fs, freqShift=50e6, RIN_var=0.0), k_lo)
+    sig_rx = pdm_coherent_receiver(sig_ch, lo, PDMFrontendConfig(Fs=fs),
+                                   key=k_rx)
+    pulse = jnp.asarray(pulse_shape("rrc", cfg_tx.SpS, 512, 0.01))
+    pre = decimate(fir_filter(pulse, sig_rx), cfg_tx.SpS, 2)
+    pre = edc(pre, EDCConfig(L=100, D=16, Fs=2 * 32e9, Rs=32e9))
+    d_ref = pnorm(symbol_sync(pre, symb_tx[:, :, 0], 2))
+
+    cfg = CoherentDSPConfig(SpS_in=cfg_tx.SpS, nFilterTaps=512, L=100,
+                            nTrain=6000, mu=(2e-3, 1e-3), eqBackend="pallas")
+    y, _ = jax.jit(lambda s, d: coherent_dsp_chain(s, d, cfg))(sig_rx, d_ref)
+    disc = 7000
+    ber, _, _ = fast_ber_calc(y[disc:-100], d_ref[disc:-100], 16, "qam")
+    assert float(jnp.max(ber)) < 1e-2, np.asarray(ber)
