@@ -40,6 +40,8 @@ __all__ = [
     "read_alist",
     "write_alist",
     "parse_alist",
+    "summarize_alist_folder",
+    "plot_binary_matrix",
     "hamming_parity_check_matrix",
     "encode_hamming",
     "decode_hamming",
@@ -246,6 +248,56 @@ def parse_alist(path):
         "max_col_w": max(col_w),
         "max_row_w": max(row_w),
     }
+
+
+def summarize_alist_folder(folder_path):
+    """Summarize every ALIST file in a folder as a text table (fec.py:1139).
+
+    Scans ``folder_path`` for ``.alist``/``.txt`` files, parses each with
+    :func:`parse_alist`, prints and returns the summary table.
+    """
+    import os
+
+    header = ("File", "n (length)", "m (checks)", "Rate", "Max Var Deg",
+              "Max Check Deg")
+    rows = []
+    for filename in sorted(os.listdir(folder_path)):
+        if not (filename.endswith(".alist") or filename.endswith(".txt")):
+            continue
+        try:
+            info = parse_alist(os.path.join(folder_path, filename))
+        except Exception as exc:  # noqa: BLE001 - mirror reference tolerance
+            print(f"Failed to parse {filename}: {exc}")
+            continue
+        rows.append((filename, str(info["n"]), str(info["m"]),
+                     f"{info['rate']:.3f}", str(info["max_col_w"]),
+                     str(info["max_row_w"])))
+    widths = [max(len(h), *(len(r[i]) for r in rows)) if rows else len(h)
+              for i, h in enumerate(header)]
+    fmt = " | ".join(f"{{:<{w}}}" for w in widths)
+    lines = [fmt.format(*header), "-+-".join("-" * w for w in widths)]
+    lines += [fmt.format(*r) for r in rows]
+    table = "\n".join(lines)
+    print(table)
+    return table
+
+
+def plot_binary_matrix(H, ax=None):
+    """Scatter-plot the support of a binary matrix (reference fec.py:1075)."""
+    import matplotlib.pyplot as plt
+
+    H = _dense(H)
+    rows, cols = np.where(H == 1)
+    if ax is None:
+        ax = plt.gca()
+    ax.scatter(cols, rows, s=10 / max(H.shape[0], 1), color="blue")
+    ax.set_xlabel("Column indexes")
+    ax.set_ylabel("Row indexes")
+    ax.set_title(f"Matrix: {H.shape[0]} x {H.shape[1]}")
+    ax.set_xlim(0, H.shape[1])
+    ax.set_ylim(H.shape[0], 0)
+    ax.grid(True)
+    return ax
 
 
 # ---------------------------------------------------------------------------

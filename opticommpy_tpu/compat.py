@@ -514,3 +514,76 @@ def OSA(x, Fs, Fc=193.1e12):
     from opticommpy_tpu.plot import osa as _osa
 
     return _osa(x, Fs, Fc)
+
+
+# --- remaining reference-name aliases (utils/fec/metrics/plot/tx helpers) ---
+
+decimal2bitarray = _bits.dec2bitarray  # scalar variant, utils.py:229
+par2gen = _fec.par2gen
+inverseMatrixGF2 = _fec.inverse_matrix_gf2
+triangP1P2 = _fec.triang_p1p2
+summarizeAlistFolder = _fec.summarize_alist_folder
+plotBinaryMatrix = _fec.plot_binary_matrix
+
+
+def GN_Model_NyquistWDM(Rs, Nch, Df, alpha, gamma, Ls, Ns, Ptx_dBm, D, Bref, Fc):
+    """Reference metrics.py:851 argument order."""
+    return _metrics.gn_model_nyquist_wdm(Rs, Nch, Df, alpha, gamma, Ls, Ns,
+                                         Ptx_dBm, D, Bref, Fc)
+
+
+ASE_NyquistWDM = _metrics.ase_nyquist_wdm
+
+
+def GNmodel_OSNR(Rs, Nch, Df, Ptx, paramCh=None, Bref=12.5e9):
+    """Reference metrics.py:917 signature (paramCh attribute bag)."""
+    p = paramCh if paramCh is not None else parameters()
+    return _metrics.gn_model_osnr(
+        Rs, Nch, Df, Ptx,
+        ltotal=getattr(p, "Ltotal", 800), l_span=getattr(p, "Lspan", 50),
+        alpha_db=getattr(p, "alpha", 0.2), disp=getattr(p, "D", 16),
+        gamma_=getattr(p, "gamma", 1.3), fc=getattr(p, "Fc", 193.1e12),
+        nf_db=getattr(p, "NF", 4.5), b_ref=Bref,
+    )
+
+
+def setPowerforParSSFM(sig, powers):
+    return _tx.set_power_for_par_ssfm(sig, powers, verbose=True)
+
+
+def _plot_alias(name):
+    import opticommpy_tpu.plot as _plot
+
+    return getattr(_plot, name)
+
+
+def pconst(*args, **kwargs):
+    return _plot_alias("pconst")(*args, **kwargs)
+
+
+def constHist(*args, **kwargs):
+    return _plot_alias("const_hist")(*args, **kwargs)
+
+
+def plotColoredConst(*args, **kwargs):
+    return _plot_alias("plot_colored_const")(*args, **kwargs)
+
+
+def plotDecisionBoundaries(*args, **kwargs):
+    return _plot_alias("plot_decision_boundaries")(*args, **kwargs)
+
+
+def eyediagram(*args, **kwargs):
+    return _plot_alias("eyediagram")(*args, **kwargs)
+
+
+def plotPSD(*args, **kwargs):
+    return _plot_alias("plot_psd")(*args, **kwargs)
+
+
+def animateConstGIF(*args, **kwargs):
+    return _plot_alias("animate_const_gif")(*args, **kwargs)
+
+
+edfParams = _amp.edf_params
+getSpectrum = _amp.get_spectrum

@@ -23,7 +23,8 @@ from opticommpy_tpu.ops.signal import upsample
 from opticommpy_tpu.utils.rng import ensure_key
 from opticommpy_tpu.utils.units import dbm2w
 
-__all__ = ["WDMTxConfig", "PAMTxConfig", "simple_wdm_tx", "pam_transmitter"]
+__all__ = ["WDMTxConfig", "PAMTxConfig", "simple_wdm_tx", "pam_transmitter",
+           "set_power_for_par_ssfm"]
 
 
 @dataclass(frozen=True)
@@ -206,3 +207,28 @@ def pam_transmitter(key_or_seed, config: PAMTxConfig = PAMTxConfig()):
     if n_pol == 1:
         return sig_o[:, 0], symb[:, 0]
     return sig_o, symb
+
+
+def set_power_for_par_ssfm(sig, powers_dbm, verbose=False):
+    """Scale polarization pairs of a mode-batched field to launch powers.
+
+    TPU-native counterpart of the GPU reference's parallel-power helper
+    (modelsGPU.py:775): column pairs (2k, 2k+1) of ``sig`` form the k-th
+    polmux signal; each is scaled so the pair's total power is
+    ``powers_dbm[k]`` (half per polarization). One vectorized rescale, no
+    per-column loop.
+    """
+    import jax.numpy as jnp
+
+    from opticommpy_tpu.ops.signal import signal_power
+    from opticommpy_tpu.utils.units import dbm2w
+
+    sig = jnp.asarray(sig)
+    p_lin = jnp.repeat(dbm2w(jnp.asarray(powers_dbm, dtype=jnp.float32)), 2) / 2
+    cur = jnp.mean((sig * jnp.conj(sig)).real, axis=0)
+    out = sig * jnp.sqrt(p_lin / cur)[None, :]
+    if verbose:
+        for i in range(out.shape[1]):
+            print("power mode %d: %.2f dBm"
+                  % (i, 10 * np.log10(float(signal_power(out[:, i])) / 1e-3)))
+    return out

@@ -139,6 +139,11 @@ def test_compat_name_coverage():
         "cpr", "bps", "ddpll", "viterbi", "fourthPowerFOE",
         "gardnerClockRecovery", "gardnerTED", "gardnerTEDnyquist",
         "interpolator", "calcClockDrift", "syncDataSequences",
+        # late additions: remaining public helpers
+        "decimal2bitarray", "ASE_NyquistWDM", "setPowerforParSSFM",
+        "summarizeAlistFolder", "plotBinaryMatrix", "pconst", "constHist",
+        "plotColoredConst", "plotDecisionBoundaries", "eyediagram",
+        "plotPSD", "animateConstGIF", "edfParams", "getSpectrum", "OSA",
     ]
     missing = [n for n in names if not hasattr(optic, n)]
     assert not missing, f"missing compat names: {missing}"
@@ -202,3 +207,37 @@ def test_parameters_table_methods(capsys):
     p.latex_table()
     out = capsys.readouterr().out
     assert "32.0 G" in out and "Array" in out and "tabular" in out
+
+
+def test_set_power_for_par_ssfm():
+    """Pair powers land on the requested dBm grid (modelsGPU.py:775)."""
+    import jax
+    import numpy as np
+
+    from opticommpy_tpu.models.tx import set_power_for_par_ssfm
+    from opticommpy_tpu.ops.signal import signal_power
+
+    rng = np.random.default_rng(3)
+    sig = rng.normal(size=(4096, 4)) + 1j * rng.normal(size=(4096, 4))
+    out = set_power_for_par_ssfm(sig, np.array([0.0, 3.0]))
+    for k, p_dbm in enumerate([0.0, 3.0]):
+        pair = 10 * np.log10(
+            (float(signal_power(out[:, 2 * k])) +
+             float(signal_power(out[:, 2 * k + 1]))) / 1e-3)
+        assert abs(pair - p_dbm) < 1e-3
+
+
+def test_gn_model_compat_wrappers():
+    """GNmodel_OSNR accepts the reference's paramCh bag (metrics.py:917)."""
+    import numpy as np
+
+    p = optic.parameters()
+    p.Ltotal, p.Lspan, p.alpha, p.D, p.gamma, p.Fc, p.NF = (
+        800, 50, 0.2, 16, 1.3, 193.1e12, 4.5)
+    ptx = np.arange(-5.0, 1.0)
+    osnr, p_nli, p_ase = optic.GNmodel_OSNR(32e9, 11, 37.5e9, ptx, p)
+    assert len(osnr) == len(ptx)
+    # OSNR is concave in launch power: NLIN eventually dominates
+    var_nli = optic.GN_Model_NyquistWDM(32e9, 11, 37.5e9, 0.2, 1.3, 50, 16,
+                                        0.0, 16, 12.5e9, 193.1e12)
+    assert var_nli > 0

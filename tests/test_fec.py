@@ -216,3 +216,27 @@ def test_dvbs2_64800_encode_decode():
     assert raw > 100  # channel flipped plenty of bits
     assert post == 0
     assert int(np.asarray(fail)[0]) == 0
+
+
+def test_summarize_alist_folder(tmp_path, capsys):
+    from opticommpy_tpu.comm.fec import summarize_alist_folder
+
+    H = gallager_ldpc(24, 3, 6, seed=11)
+    write_alist(H, str(tmp_path / "code.alist"))
+    table = summarize_alist_folder(str(tmp_path))
+    assert "code.alist" in table and "24" in table
+    assert "File" in capsys.readouterr().out
+
+
+def test_plot_binary_matrix():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from opticommpy_tpu.comm.fec import plot_binary_matrix
+
+    H = hamming_parity_check_matrix(3)
+    ax = plot_binary_matrix(H)
+    assert ax is not None
+    plt.close("all")
