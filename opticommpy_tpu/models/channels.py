@@ -205,44 +205,67 @@ def _manakov_span(e, lin_arg, span_len, cfg: SSFMConfig, nl_sign=1.0):
         # static path: the step schedule is known at trace time -> lax.scan
         # over per-step sizes (uniform hz + one partial final step). With
         # trapIters > 0 this path contains no while_loop at all.
+        #
+        # The linear operators are closure CONSTANTS, not scanned-over arrays:
+        # a (n_steps, N) operator tensor is multi-GB at 2^20 samples and its
+        # per-step HBM reads halve throughput (measured on v5e). The uniform
+        # prefix of the schedule shares one operator; the <=2 trailing steps
+        # around a partial final step are unrolled with their own operators.
         n_full = int(np.floor(span_len / cfg.hz))
         hz_last = span_len - n_full * cfg.hz
-        sizes = [cfg.hz] * n_full + ([hz_last] if hz_last > 1e-9 else [])
-        hz_arr = jnp.asarray(np.asarray(sizes, dtype=np.float32))
+        sizes = np.asarray(
+            [cfg.hz] * n_full + ([hz_last] if hz_last > 1e-9 else []),
+            dtype=np.float64,
+        )
 
         if cfg.fusedLinear and cfg.trapIters == 1:
             # merged half-steps: the linear operator between nonlinear steps
             # k and k+1 covers (h_k + h_{k+1})/2; edges get h/2. The field is
             # carried in the frequency domain -> one fft+ifft pair per step.
-            sizes_np = np.asarray(sizes, dtype=np.float64)
-            mid = (sizes_np[:-1] + sizes_np[1:]) / 2 if len(sizes_np) > 1 else []
-            gaps = np.concatenate([mid, [sizes_np[-1] / 2]])
-            lin_gap = jnp.exp(lin_arg[None, :] * jnp.asarray(
-                gaps[:, None], dtype=jnp.float32))
+            mid = (sizes[:-1] + sizes[1:]) / 2 if len(sizes) > 1 else []
+            gaps = np.concatenate([mid, [sizes[-1] / 2]])
             gamma_ = cfg.gamma
 
-            ef = jnp.fft.fft(e, axis=-1) * jnp.exp(lin_arg * (sizes_np[0] / 2))
-
-            def fstep(ef, inp):
-                hz_, lg = inp
+            def fstep_with(ef, hz_, lin_gap):
                 et = jnp.fft.ifft(ef, axis=-1)
-                pch = jnp.sum(jnp.abs(et) ** 2, axis=0)
-                phi = nlin_phase_rot(et[0], et[1], pch, gamma_)
-                rot = jnp.exp(nl_sign * 1j * phi * hz_).astype(jnp.complex64)
-                ef = jnp.fft.fft(et * rot, axis=-1) * lg
-                return ef, None
+                pch = jnp.sum((et * jnp.conj(et)).real, axis=0)
+                # trapezoid anchor = current power, so nlin_phase_rot
+                # (channels.py:471) reduces to (8/9)*gamma*pch here
+                rot = jnp.exp(
+                    nl_sign * 1j * ((8 / 9) * gamma_ * hz_) * pch
+                ).astype(jnp.complex64)
+                return jnp.fft.fft(et * rot, axis=-1) * lin_gap
 
-            ef, _ = jax.lax.scan(fstep, ef, (hz_arr, lin_gap))
+            n_uni = 0
+            while (n_uni < len(sizes) and sizes[n_uni] == cfg.hz
+                   and gaps[n_uni] == cfg.hz):
+                n_uni += 1
+
+            ef = jnp.fft.fft(e, axis=-1) * jnp.exp(lin_arg * (sizes[0] / 2))
+            if n_uni:
+                lin_full = jnp.exp(lin_arg * cfg.hz)
+
+                def fstep(ef, _):
+                    return fstep_with(ef, cfg.hz, lin_full), None
+
+                ef, _ = jax.lax.scan(fstep, ef, None, length=n_uni)
+            for k in range(n_uni, len(sizes)):  # <= 2 trailing steps
+                ef = fstep_with(ef, sizes[k], jnp.exp(lin_arg * gaps[k]))
             return jnp.fft.ifft(ef, axis=-1)
 
-        lin_ops = jnp.exp(lin_arg[None, :] * (hz_arr[:, None] / 2))
-
-        def step(e, inp):
-            hz_, lin_op = inp
+        def step_with(e, hz_, lin_op):
             pch = jnp.sum(jnp.abs(e) ** 2, axis=0)
-            return _manakov_step(e, pch, lin_op, hz_, cfg, nl_sign), None
+            return _manakov_step(e, pch, lin_op, hz_, cfg, nl_sign)
 
-        e, _ = jax.lax.scan(step, e, (hz_arr, lin_ops))
+        n_uni = int(np.sum(sizes == cfg.hz))
+        lin_half = jnp.exp(lin_arg * (cfg.hz / 2))
+
+        def step(e, _):
+            return step_with(e, cfg.hz, lin_half), None
+
+        e, _ = jax.lax.scan(step, e, None, length=n_uni)
+        for k in range(n_uni, len(sizes)):  # at most the partial final step
+            e = step_with(e, sizes[k], jnp.exp(lin_arg * (sizes[k] / 2)))
         return e
 
     # adaptive path: data-dependent step size (channels.py:392-397) -> while
