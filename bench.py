@@ -51,7 +51,7 @@ def run_tpu():
     cfg = SSFMConfig(
         Ltotal=N_SPANS * L_SPAN, Lspan=L_SPAN, hz=HZ, alpha=ALPHA_DB, D=D_PS,
         gamma=GAMMA, Fs=FS, amp="ideal", nlprMethod=False, trapIters=1,
-        fusedLinear=True,
+        fusedLinear=True, fftBackend="matmul",
     )
 
     @jax.jit

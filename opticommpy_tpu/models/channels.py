@@ -191,6 +191,26 @@ def _manakov_step(e, pch, lin_op, hz_, cfg: SSFMConfig, nl_sign):
     return e_fd
 
 
+def _fft_pair(cfg: SSFMConfig, lin_arg):
+    """(fft, ifft, lin_arg) for the configured backend.
+
+    The 'matmul' backend transforms to a fixed permuted frequency order
+    (kernels/matmul_fft.py); ``lin_arg`` is permuted to match, which keeps
+    every frequency-diagonal operator application exact in that order.
+    """
+    if cfg.fftBackend == "matmul":
+        from opticommpy_tpu.kernels.matmul_fft import fwd_factory
+
+        try:
+            fwd, inv, kmap = fwd_factory(lin_arg.shape[-1])
+        except ValueError:  # length does not factor into radices <= 128
+            pass
+        else:
+            return fwd, inv, lin_arg[jnp.asarray(kmap)]
+    return (partial(jnp.fft.fft, axis=-1), partial(jnp.fft.ifft, axis=-1),
+            lin_arg)
+
+
 def _manakov_span(e, lin_arg, span_len, cfg: SSFMConfig, nl_sign=1.0):
     """Propagate the (2, B, N) field through one span (z while-loop).
 
@@ -226,22 +246,24 @@ def _manakov_span(e, lin_arg, span_len, cfg: SSFMConfig, nl_sign=1.0):
             gaps = np.concatenate([mid, [sizes[-1] / 2]])
             gamma_ = cfg.gamma
 
+            fft_fwd, fft_inv, lin_arg = _fft_pair(cfg, lin_arg)
+
             def fstep_with(ef, hz_, lin_gap):
-                et = jnp.fft.ifft(ef, axis=-1)
+                et = fft_inv(ef)
                 pch = jnp.sum((et * jnp.conj(et)).real, axis=0)
                 # trapezoid anchor = current power, so nlin_phase_rot
                 # (channels.py:471) reduces to (8/9)*gamma*pch here
                 rot = jnp.exp(
                     nl_sign * 1j * ((8 / 9) * gamma_ * hz_) * pch
                 ).astype(jnp.complex64)
-                return jnp.fft.fft(et * rot, axis=-1) * lin_gap
+                return fft_fwd(et * rot) * lin_gap
 
             n_uni = 0
             while (n_uni < len(sizes) and sizes[n_uni] == cfg.hz
                    and gaps[n_uni] == cfg.hz):
                 n_uni += 1
 
-            ef = jnp.fft.fft(e, axis=-1) * jnp.exp(lin_arg * (sizes[0] / 2))
+            ef = fft_fwd(e) * jnp.exp(lin_arg * (sizes[0] / 2))
             if n_uni:
                 lin_full = jnp.exp(lin_arg * cfg.hz)
 
@@ -251,7 +273,7 @@ def _manakov_span(e, lin_arg, span_len, cfg: SSFMConfig, nl_sign=1.0):
                 ef, _ = jax.lax.scan(fstep, ef, None, length=n_uni)
             for k in range(n_uni, len(sizes)):  # <= 2 trailing steps
                 ef = fstep_with(ef, sizes[k], jnp.exp(lin_arg * gaps[k]))
-            return jnp.fft.ifft(ef, axis=-1)
+            return fft_inv(ef)
 
         def step_with(e, hz_, lin_op):
             pch = jnp.sum(jnp.abs(e) ** 2, axis=0)

@@ -181,6 +181,11 @@ class SSFMConfig:
     # channels.py:219-229, uses this anchor too). Requires nlprMethod=False
     # and trapIters=1.
     fusedLinear: bool = False
+    # FFT backend for the fused static path: 'xla' (exact jnp.fft) or
+    # 'matmul' (MXU mixed-radix matmul FFT in permuted frequency order,
+    # kernels/matmul_fft.py — ~1.5x faster per step on v5e at ~3e-7
+    # roundtrip error; falls back to 'xla' when the length won't factor).
+    fftBackend: str = "xla"
 
 
 @dataclass(frozen=True)
