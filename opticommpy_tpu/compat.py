@@ -240,7 +240,13 @@ def symbolSource(param):
 
 
 # --- comm.metrics ----------------------------------------------------------
-bert = _metrics.bert
+def bert(Irx, bitsTx=None, seed=123):
+    """Reference metrics.py:37 signature: bitsTx=None regenerates the bit
+    sequence from ``seed`` (matches ``bitSource`` with the same seed)."""
+    if bitsTx is None:
+        bitsTx = _sources.bit_source(_key(seed), np.asarray(Irx).shape[0],
+                                     "random")
+    return _metrics.bert(Irx, bitsTx)
 fastBERcalc = _metrics.fast_ber_calc
 calcLLR = _metrics.calc_llr
 calcExtrLLR = _metrics.calc_extr_llr
