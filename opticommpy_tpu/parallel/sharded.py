@@ -43,7 +43,7 @@ def _halo_exchange(x_local, halo_left, halo_right, axis_name):
     return jnp.concatenate([left, x_local, right], axis=0)
 
 
-def sharded_fir(x, h, mesh, time_axis="time"):
+def sharded_fir(x, h, mesh, time_axis="time", mode_axis=None):
     """'same'-mode FIR filtering with the time axis sharded across chips.
 
     Each chip receives (K-1)//2 halo samples from each neighbor over ICI and
@@ -54,6 +54,9 @@ def sharded_fir(x, h, mesh, time_axis="time"):
     x : (N, modes) array — N must be divisible by the mesh's time-axis size.
     h : (K,) filter taps.
     mesh : jax.sharding.Mesh with a ``time_axis`` axis.
+    mode_axis : optional mesh axis sharding the mode/signal column axis as
+        well (keeps a batch-sharded upstream stage's layout, so entering the
+        time-sharded stage is a local slice instead of an all-gather).
     """
     x = jnp.asarray(x)
     h = jnp.asarray(h)
@@ -76,7 +79,7 @@ def sharded_fir(x, h, mesh, time_axis="time"):
         y = _fft_conv_same(h_, xx, out_dtype)
         return y[halo_l : xx.shape[0] - halo_r]
 
-    spec_in = P(time_axis, None)
+    spec_in = P(time_axis, mode_axis)
     fn = jax.shard_map(
         local_filter,
         mesh=mesh,
@@ -87,7 +90,7 @@ def sharded_fir(x, h, mesh, time_axis="time"):
     return y[:, 0] if squeeze else y
 
 
-def sharded_edc(sig, config, mesh, time_axis="time"):
+def sharded_edc(sig, config, mesh, time_axis="time", mode_axis=None):
     """Chromatic-dispersion compensation with a sharded time axis.
 
     Same filter as :func:`opticommpy_tpu.dsp.equalization.edc`, applied with
@@ -110,7 +113,7 @@ def sharded_edc(sig, config, mesh, time_axis="time"):
         # fftshift centers an even-length impulse at k//2; shift one sample so
         # the zero-delay tap sits at (k-1)//2, the 'same'-convolution center
         h_t = np.concatenate([h_t[1:], [0.0]]).astype(np.complex64)
-    return sharded_fir(sig, jnp.asarray(h_t), mesh, time_axis)
+    return sharded_fir(sig, jnp.asarray(h_t), mesh, time_axis, mode_axis)
 
 
 def shard_batch(mesh, data_axis="data"):
