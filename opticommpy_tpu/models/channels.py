@@ -119,26 +119,46 @@ def ssfm(e_in, config: SSFMConfig, key=None):
     n_steps = int(np.floor(config.Lspan / hz))
 
     w = 2 * jnp.pi * config.Fs * jnp.fft.fftfreq(n)
-    lin_op = jnp.exp(
-        (-(alpha / 2) + 1j * (beta2 / 2) * w**2) * (hz / 2)
-    ).astype(jnp.complex64)
+    lin_arg = (-(alpha / 2) + 1j * (beta2 / 2) * w**2).astype(jnp.complex64)
+    fft_fwd, fft_inv, lin_arg = _fft_pair(config, lin_arg)
+    lin_half = jnp.exp(lin_arg * (hz / 2))
 
     amp_cfg = EDFAConfig(G=config.alpha * config.Lspan, NF=config.NF,
                          Fc=config.Fc, Fs=config.Fs)
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    def step(_, ef):
-        # ef: frequency-domain field (B, N)
-        ef = ef * lin_op
-        et = jnp.fft.ifft(ef, axis=-1)
-        et = et * jnp.exp(1j * gamma_ * (et * jnp.conj(et)) * hz)
-        return jnp.fft.fft(et, axis=-1) * lin_op
+    if config.fusedLinear:
+        # merged half-steps (see _manakov_span): one fft+ifft pair per step,
+        # field carried in the (possibly permuted) frequency domain
+        lin_full = jnp.exp(lin_arg * hz)
+
+        def fstep(_, ef):
+            et = fft_inv(ef)
+            et = et * jnp.exp(1j * gamma_ * (et * jnp.conj(et)) * hz)
+            return fft_fwd(et) * lin_full
+
+        def span_steps(e):
+            ef = fft_fwd(e) * lin_half
+            ef = jax.lax.fori_loop(0, n_steps - 1, fstep, ef)
+            et = fft_inv(ef)
+            et = et * jnp.exp(1j * gamma_ * (et * jnp.conj(et)) * hz)
+            return fft_inv(fft_fwd(et) * lin_half)
+    else:
+        def step(_, ef):
+            # ef: frequency-domain field (B, N)
+            ef = ef * lin_half
+            et = fft_inv(ef)
+            et = et * jnp.exp(1j * gamma_ * (et * jnp.conj(et)) * hz)
+            return fft_fwd(et) * lin_half
+
+        def span_steps(e):
+            ef = fft_fwd(e)
+            ef = jax.lax.fori_loop(0, n_steps, step, ef)
+            return fft_inv(ef)
 
     def span(e, span_idx):
-        ef = jnp.fft.fft(e, axis=-1)
-        ef = jax.lax.fori_loop(0, n_steps, step, ef)
-        e = jnp.fft.ifft(ef, axis=-1)
+        e = span_steps(e)
         if config.amp == "edfa":
             e = edfa(e, amp_cfg, jax.random.fold_in(key, span_idx))
         elif config.amp == "ideal":
@@ -202,7 +222,8 @@ def _fft_pair(cfg: SSFMConfig, lin_arg):
         from opticommpy_tpu.kernels.matmul_fft import fwd_factory
 
         try:
-            fwd, inv, kmap = fwd_factory(lin_arg.shape[-1])
+            fwd, inv, kmap = fwd_factory(lin_arg.shape[-1],
+                                         precision=cfg.fftPrecision)
         except ValueError:  # length does not factor into radices <= 128
             pass
         else:

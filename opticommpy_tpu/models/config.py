@@ -186,6 +186,9 @@ class SSFMConfig:
     # kernels/matmul_fft.py — ~1.5x faster per step on v5e at ~3e-7
     # roundtrip error; falls back to 'xla' when the length won't factor).
     fftBackend: str = "xla"
+    # matmul-FFT stage precision: 'highest' (f32 MXU passes, 3e-7/roundtrip)
+    # or 'high' (bf16x3, ~1.16x faster per step at 6e-5/roundtrip).
+    fftPrecision: str = "highest"
 
 
 @dataclass(frozen=True)

@@ -82,3 +82,23 @@ def test_fft_backend_fallback_on_prime_length():
                      trapIters=1, fusedLinear=True, fftBackend="matmul")
     out = np.asarray(manakov_ssf(e, cfg))
     assert np.all(np.isfinite(out))
+
+
+def test_scalar_ssfm_fused_and_matmul_backend():
+    """Scalar NLSE SSFM: fused-linear path (xla & matmul FFT) matches the
+    plain symmetric split-step to the splitting-order tolerance."""
+    from opticommpy_tpu.models import SSFMConfig
+    from opticommpy_tpu.models.channels import ssfm
+
+    n = 2**12
+    rng = np.random.default_rng(2)
+    e = 0.03 * (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    kw = dict(Ltotal=100.0, Lspan=50.0, hz=0.5, alpha=0.2, D=16.0, gamma=1.3,
+              Fs=64e9, amp="ideal")
+    base = np.asarray(ssfm(e, SSFMConfig(**kw)))
+    fused = np.asarray(ssfm(e, SSFMConfig(**kw, fusedLinear=True)))
+    fused_mm = np.asarray(
+        ssfm(e, SSFMConfig(**kw, fusedLinear=True, fftBackend="matmul")))
+    scale = np.max(np.abs(base))
+    assert np.max(np.abs(fused - base)) / scale < 5e-3  # splitting order
+    assert np.max(np.abs(fused_mm - fused)) / scale < 5e-4  # FFT rounding
