@@ -82,12 +82,31 @@ def build_chain():
         out = y * jnp.exp(1j * est)
         return jnp.mean((out * jnp.conj(out)).real)
 
+    def pallas_chain(sig_ri, h_ri):
+        from opticommpy_tpu.kernels.mimo_pallas import mimo_eq_pallas
+        from opticommpy_tpu.ops.filtering import fir_filter
+
+        sig = (sig_ri[..., 0] + 1j * sig_ri[..., 1]).astype(jnp.complex64)
+        x = fir_filter(pulse, sig)
+        x = edc(x, edc_cfg)
+        x = pnorm(x)
+        d = x[::SPS][:N_SYM]  # placeholder reference (timing workload)
+        y, _ = mimo_eq_pallas(
+            x, d, const, alg="lms", n_taps=n_taps,
+            sps=SPS, mu=2e-3, n_train=N_SYM // 8,
+            interpret=jax.default_backend() == "cpu",
+        )
+        est = bps(y, 32, jnp.asarray(const), 64)
+        out = y * jnp.exp(1j * est)
+        return jnp.mean((out * jnp.conj(out)).real)
+
     rng = np.random.default_rng(0)
     sig_ri = rng.normal(size=(n, 2, 2)).astype(np.float32) * 0.2
     h0 = np.zeros((2, 2, n_taps, 2), dtype=np.float32)
     h0[0, 0, n_taps // 2, 0] = 1.0
     h0[1, 1, n_taps // 2, 0] = 1.0
-    return adaptive_chain, frozen_chain, jnp.asarray(sig_ri), jnp.asarray(h0)
+    return (adaptive_chain, frozen_chain, pallas_chain,
+            jnp.asarray(sig_ri), jnp.asarray(h0))
 
 
 def time_fn(fn, *args, reps=3):
@@ -102,12 +121,14 @@ def time_fn(fn, *args, reps=3):
 
 
 def main():
-    adaptive, frozen, sig, h0 = build_chain()
+    adaptive, frozen, pallas, sig, h0 = build_chain()
     t_ad = time_fn(adaptive, sig, h0)
     t_fr = time_fn(frozen, sig, h0)
+    t_pl = time_fn(pallas, sig, h0)
     print(json.dumps({
         "metric": "coherent DSP chain (MF+EDC+2x2 MIMO+BPS), 16QAM polmux",
         "adaptive_Msym_per_s": round(N_SYM / t_ad / 1e6, 3),
+        "adaptive_pallas_Msym_per_s": round(N_SYM / t_pl / 1e6, 3),
         "frozen_tap_Msym_per_s": round(N_SYM / t_fr / 1e6, 3),
         "n_symbols": N_SYM,
     }))
