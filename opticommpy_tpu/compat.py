@@ -593,3 +593,537 @@ def animateConstGIF(*args, **kwargs):
 
 edfParams = _amp.edf_params
 getSpectrum = _amp.get_spectrum
+
+
+# --- reference-internal kernels exposed for line-by-line API parity --------
+# The reference publishes its Numba kernels and solver internals as part of
+# its API (users call them directly in notebooks). The TPU-fast paths live in
+# opticommpy_tpu.dsp / .comm / .models; the shims below are host-side NumPy
+# forms with the reference's exact signatures, and double as independent
+# oracles for the jitted implementations in tests/.
+
+
+def dotNumba(a, b):
+    """Dot product (reference utils.py:282 — XLA contractions replace it)."""
+    return np.dot(a, b)
+
+
+def checkGPU():
+    """Accelerator probe (reference dsp/coreGPU.py:11).
+
+    The rebuild has a single jitted code path, so nothing dispatches on this;
+    it reports whether JAX's default backend is an accelerator.
+    """
+    return jax.default_backend() != "cpu"
+
+
+def minR(R, x):
+    """Index of min |R - x| (reference comm/metrics.py:751)."""
+    return int(np.argmin(np.abs(np.asarray(R) - x)))
+
+
+def condEntropy(yI, yQ, const, pX, ind, sigma):
+    """Conditional-entropy quadrature integrand (reference metrics.py:689)."""
+    return _metrics._cond_entropy(yI, yQ, const, pX, ind, sigma)
+
+
+def randomCmap(nColors=100, low=0.1, high=0.99, seed=None):
+    """Random categorical colormap (reference plot.py:639)."""
+    from matplotlib.colors import ListedColormap
+
+    rng = np.random.default_rng(seed)
+    return ListedColormap(rng.uniform(low, high, size=(nColors, 3)))
+
+
+def bpsGPU(Ei, N, constSymb, B):
+    """GPU blind phase search (reference carrierRecoveryGPU.py:17).
+
+    The TPU build has one vectorized kernel for CPU/TPU alike (dsp.bps); this
+    alias keeps reference call sites working.
+    """
+    return _cpr.bps(Ei, N, constSymb, B)
+
+
+def calcNLINperturbation(C_ifwm, C_ixpm, C_ispm, x, y, prec=np.complex64):
+    """First-order NLIN perturbation (reference perturbation.py:200)."""
+    dx, dy, phi_x, phi_y = _pert.calc_nlin_perturbation(C_ifwm, C_ixpm,
+                                                        C_ispm, x, y)
+    return (np.asarray(dx).astype(prec), np.asarray(dy).astype(prec),
+            np.asarray(phi_x), np.asarray(phi_y))
+
+
+def calcNLINperturbationSimplified(C_ifwm, C_ixpm, C_ispm, x, y,
+                                   coeffTol=-20, prec=np.complex64):
+    """Coefficient-pruned NLIN perturbation (reference perturbation.py:342)."""
+    dx, dy, phi_x, phi_y, _, _ = _pert.calc_nlin_perturbation_simplified(
+        C_ifwm, C_ixpm, C_ispm, x, y, coeff_tol=coeffTol)
+    return (np.asarray(dx).astype(prec), np.asarray(dy).astype(prec),
+            np.asarray(phi_x), np.asarray(phi_y))
+
+
+# --- FEC encoder/decoder kernels (reference fec.py:254-683) -----------------
+
+
+def encoder(G, bits, systematic=True):
+    """GF(2) generator-matrix encoder (reference fec.py:302).
+
+    G: (k, n); bits: (k, N). Returns (n, N) codeword columns. The GF(2)
+    matvec is one integer matmul mod 2 instead of the reference's triple loop.
+    """
+    G = (np.asarray(G) % 2).astype(np.uint8)
+    bits = (np.asarray(bits) % 2).astype(np.uint8)
+    k = G.shape[0]
+    if systematic:
+        parity = (G[:, k:].astype(np.int64).T @ bits) % 2
+        return np.vstack([bits, parity.astype(np.uint8)])
+    return ((G.astype(np.int64).T @ bits) % 2).astype(np.uint8)
+
+
+def encodeDVBS2(bits, A):
+    """DVB-S2 recursive LDPC encoder (reference fec.py:254).
+
+    bits: (k, N); A: (m, k) first k columns of H. The per-codeword recursive
+    parity accumulation codewords[k+i] = parity[i] ^ codewords[k+i-1] is a
+    prefix XOR = cumulative sum mod 2 along the parity axis.
+    """
+    bits = (np.asarray(bits) % 2).astype(np.uint8)
+    A = (np.asarray(A) % 2).astype(np.int64)
+    parity = (A @ bits) % 2
+    parity = (np.cumsum(parity, axis=0) % 2).astype(np.uint8)
+    return np.vstack([bits, parity])
+
+
+def encodeTriang(bits, P1, P2):
+    """Richardson-Urbanke triangular encoder (reference fec.py:1019).
+
+    bits: (k, N); P1: (m1, k); P2: (m2, k). Returns (k+m1+m2, N).
+    """
+    bits = (np.asarray(bits) % 2).astype(np.uint8)
+    p1 = ((np.asarray(P1) % 2).astype(np.int64) @ bits) % 2
+    p2 = ((np.asarray(P2) % 2).astype(np.int64) @ bits) % 2
+    return np.vstack([bits, p1.astype(np.uint8), p2.astype(np.uint8)])
+
+
+def _bp_from_adjacency(llrs, checkNodes, maxIter, alg):
+    """Run our padded-edge BP given the reference's check-node adjacency."""
+    llrs = np.atleast_2d(np.asarray(llrs, dtype=np.float32))
+    if llrs.shape[0] == 1:
+        llrs = llrs.T
+    n = llrs.shape[0]
+    m = len(checkNodes)
+    H = np.zeros((m, n), dtype=np.uint8)
+    for i, vars_i in enumerate(checkNodes):
+        H[i, np.asarray(vars_i, dtype=np.int64)] = 1
+    graph = _fec.ldpc_graph(H)
+    out_llr, n_iters, fail = _fec._bp_decode_batch(
+        jax.numpy.asarray(llrs),
+        jax.numpy.asarray(graph["cn_idx"]),
+        jax.numpy.asarray(graph["cn_mask"]),
+        jax.numpy.asarray(graph["edge_var"]),
+        n, int(maxIter), alg,
+    )
+    return (np.asarray(out_llr), int(np.max(np.asarray(n_iters))),
+            np.asarray(fail).astype(np.uint8))
+
+
+def sumProductAlgorithm(llrs, checkNodes, varNodes, maxIter, prec=np.float32):
+    """Sum-product BP decoder (reference fec.py:347).
+
+    llrs: (n, numCodewords); checkNodes: adjacency (list over check nodes of
+    variable-index arrays); varNodes is accepted for signature parity (the
+    padded edge arrays are derived from checkNodes alone). Returns
+    (finalLLR, numIter, frameDecodingFail) like the reference.
+    """
+    del varNodes
+    out, n_iter, fail = _bp_from_adjacency(llrs, checkNodes, maxIter, "SPA")
+    return out.astype(prec), n_iter, fail
+
+
+def minSumAlgorithm(llrs, checkNodes, varNodes, maxIter, prec=np.float32):
+    """Min-sum BP decoder (reference fec.py:505). See sumProductAlgorithm."""
+    del varNodes
+    out, n_iter, fail = _bp_from_adjacency(llrs, checkNodes, maxIter, "MSA")
+    return out.astype(prec), n_iter, fail
+
+
+# --- physical-EDFA solver internals (reference amplification.py:139-415) ---
+# These operate on the resolved properties dict produced by
+# opticommpy_tpu.models.amplification.edf_params (the rebuild's equivalent of
+# the reference's `properties` bag; same physics, dict layout).
+
+get_mode_radius = _amp.get_mode_radius
+
+
+def getN2Pop(P, properties):
+    """Metastable-level population (reference amplification.py:197)."""
+    return _amp._n2_pop(P, properties)
+
+
+def gilesSpectrum(z, P, properties):
+    """Spectral Giles propagation RHS (reference amplification.py:139)."""
+    return _amp._giles_rhs(z, P, properties)
+
+
+def gilesSpatial(z, P, properties, param_edf=None):
+    """Spatial Giles propagation RHS (reference amplification.py:163)."""
+    del param_edf  # folded into the properties dict here
+    return _amp._giles_rhs(z, P, properties)
+
+
+def getOverlapInt(n2_norm, properties, param_edf=None):
+    """Field/doping overlap integral (reference amplification.py:229)."""
+    del param_edf
+    dop = (2 * np.pi * properties["r"] * n2_norm) * properties["dr"]
+    return np.trapezoid(properties["i_k"] * dop[:, None], axis=0)
+
+
+def updtCnst(properties):
+    """Precompute Giles solver constants (reference amplification.py:273)."""
+    return _amp._make_consts(properties)
+
+
+def edfaArgs(param_edfa):
+    """Resolve EDFA defaults into the parameter bag (reference :359)."""
+    cfg = params_to_config(param_edfa, _amp.EDFASMConfig)
+    for f in dataclasses.fields(cfg):
+        if not hasattr(param_edfa, f.name):
+            setattr(param_edfa, f.name, getattr(cfg, f.name))
+    return param_edfa
+
+
+# --- MIMO adaptive-equalizer update rules (reference equalization.py:519-973)
+# Host-side NumPy single-step updates with the reference's exact signatures
+# and tap layout: H is (nModes^2, nTaps), row N*nModes+m = filter from input
+# mode N to output mode m. The jitted multi-stage path is
+# dsp.mimo_adapt_equalizer; these shims serve direct call sites and act as an
+# independent oracle for it in tests/.
+
+
+def _blocks(H, nModes):
+    """(nModes, nModes, nTaps) view of the reference tap layout."""
+    return H.reshape(nModes, nModes, -1)
+
+
+def nlmsUp(sigIn, symbRef, outEq, mu, H, H_, nModes, runWL, prec=np.complex64):
+    """NLMS tap update (reference equalization.py:519)."""
+    err = (np.asarray(symbRef).reshape(1, -1) - outEq.T).astype(prec)
+    x = np.asarray(sigIn).astype(prec)
+    Hb, H_b = _blocks(H, nModes), _blocks(H_, nModes)
+    for N in range(nModes):
+        inAdapt = x[:, N] / np.sum(np.abs(x[:, N]) ** 2)
+        Hb[N] += mu * err[0][:, None] * np.conj(inAdapt)[None, :]
+        if runWL:
+            H_b[N] += mu * err[0][:, None] * inAdapt[None, :]
+    return H, H_, np.abs(err[0]) ** 2
+
+
+def ddlmsUp(sigIn, constSymb, outEq, mu, H, H_, nModes, runWL,
+            prec=np.complex64):
+    """Decision-directed LMS tap update (reference equalization.py:647)."""
+    out = outEq.T[0]
+    decided = np.asarray(constSymb)[
+        np.argmin(np.abs(out[:, None] - np.asarray(constSymb)[None, :]), axis=1)
+    ]
+    err = (decided - out).astype(prec)
+    x = np.asarray(sigIn).astype(prec)
+    Hb, H_b = _blocks(H, nModes), _blocks(H_, nModes)
+    for N in range(nModes):
+        Hb[N] += mu * err[:, None] * np.conj(x[:, N])[None, :]
+        if runWL:
+            H_b[N] += mu * err[:, None] * x[:, N][None, :]
+    return H, H_, np.abs(err) ** 2
+
+
+def cmaUp(sigIn, R, outEq, mu, H, H_, nModes, runWL, prec=np.complex64):
+    """CMA tap update (reference equalization.py:788)."""
+    out = outEq.T[0]
+    err = (np.asarray(R).reshape(-1)[:nModes] - np.abs(out) ** 2).astype(prec)
+    g = err * out
+    x = np.asarray(sigIn).astype(prec)
+    Hb, H_b = _blocks(H, nModes), _blocks(H_, nModes)
+    for N in range(nModes):
+        Hb[N] += mu * g[:, None] * np.conj(x[:, N])[None, :]
+        if runWL:
+            H_b[N] += mu * g[:, None] * x[:, N][None, :]
+    return H, H_, np.abs(err) ** 2
+
+
+def rdeUp(sigIn, R, outEq, mu, H, H_, nModes, runWL, prec=np.complex64):
+    """Radius-directed tap update (reference equalization.py:846)."""
+    out = outEq.T[0]
+    R = np.asarray(R).reshape(-1)
+    decidedR = R[np.argmin(np.abs(R[None, :] - np.abs(out)[:, None]), axis=1)]
+    err = (decidedR**2 - np.abs(out) ** 2).astype(prec)
+    g = err * out
+    x = np.asarray(sigIn).astype(prec)
+    Hb, H_b = _blocks(H, nModes), _blocks(H_, nModes)
+    for N in range(nModes):
+        Hb[N] += mu * g[:, None] * np.conj(x[:, N])[None, :]
+        if runWL:
+            H_b[N] += mu * g[:, None] * x[:, N][None, :]
+    return H, H_, np.abs(err) ** 2
+
+
+def dardeUp(sigIn, ref, outEq, mu, H, H_, nModes, runWL, prec=np.complex64):
+    """Data-aided RDE tap update (reference equalization.py:912)."""
+    out = outEq.T[0]
+    decidedR = np.abs(np.asarray(ref).reshape(-1)[:nModes])
+    err = (decidedR**2 - np.abs(out) ** 2).astype(prec)
+    g = err * out
+    x = np.asarray(sigIn).astype(prec)
+    Hb, H_b = _blocks(H, nModes), _blocks(H_, nModes)
+    for N in range(nModes):
+        Hb[N] += mu * g[:, None] * np.conj(x[:, N])[None, :]
+        if runWL:
+            H_b[N] += mu * g[:, None] * x[:, N][None, :]
+    return H, H_, np.abs(err) ** 2
+
+
+def _rls_step(x_N, Sd_, lam, prec):
+    """One RLS gain/inverse-correlation update for input mode N."""
+    u = np.conj(x_N).reshape(-1, 1).astype(prec)  # the reference's inAdapt
+    A = Sd_ @ u
+    C = (np.conj(u).T @ A)[0, 0]
+    Sd_ = (1.0 / lam) * (Sd_ - (A @ (np.conj(u).T @ Sd_)) / (lam + C))
+    gain = (Sd_ @ u).reshape(-1)  # = Sd_ @ inAdapt
+    return Sd_.astype(prec), gain
+
+
+def rlsUp(sigIn, symbRef, outEq, lam, H, Sd, nModes, prec=np.complex64):
+    """RLS tap update (reference equalization.py:575).
+
+    Sd is the stacked per-input-mode inverse correlation matrix,
+    shape (nModes*nTaps, nTaps) as in the reference.
+    """
+    nTaps = H.shape[1]
+    err = (np.asarray(symbRef).reshape(-1)[:nModes] - outEq.T[0]).astype(prec)
+    x = np.asarray(sigIn).astype(prec)
+    Hb = _blocks(H, nModes)
+    for N in range(nModes):
+        Sd_, gain = _rls_step(x[:, N], Sd[N * nTaps:(N + 1) * nTaps], lam, prec)
+        Hb[N] += err[:, None] * gain[None, :]
+        Sd[N * nTaps:(N + 1) * nTaps] = Sd_
+    return H, Sd, np.abs(err) ** 2
+
+
+def ddrlsUp(sigIn, constSymb, outEq, lam, H, Sd, nModes, prec=np.complex64):
+    """Decision-directed RLS tap update (reference equalization.py:711)."""
+    out = outEq.T[0]
+    decided = np.asarray(constSymb)[
+        np.argmin(np.abs(out[:, None] - np.asarray(constSymb)[None, :]), axis=1)
+    ]
+    nTaps = H.shape[1]
+    err = (decided - out).astype(prec)
+    x = np.asarray(sigIn).astype(prec)
+    Hb = _blocks(H, nModes)
+    for N in range(nModes):
+        Sd_, gain = _rls_step(x[:, N], Sd[N * nTaps:(N + 1) * nTaps], lam, prec)
+        Hb[N] += err[:, None] * gain[None, :]
+        Sd[N * nTaps:(N + 1) * nTaps] = Sd_
+    return H, Sd, np.abs(err) ** 2
+
+
+def coreAdaptEq(sigIn, symbRef, SpS, H, H_, L, mu, lambdaRLS, nTaps,
+                storeCoeff, runWL, alg, constSymb, prec=np.complex64):
+    """Adaptive-equalizer core loop (reference equalization.py:354).
+
+    Host-side NumPy form with the reference's semantics (strictly sequential
+    over symbols); the TPU path is dsp.mimo_adapt_equalizer (lax.scan) and
+    kernels.mimo_eq_pallas. Returns (sigOut, H, H_, errSq, Hiter).
+    """
+    sigIn = np.asarray(sigIn).astype(prec)
+    symbRef = np.asarray(symbRef).astype(prec)
+    nModes = sigIn.shape[1]
+    H = np.array(H, dtype=prec)
+    H_ = np.array(H_, dtype=prec)
+    sigOut = np.zeros((L, nModes), dtype=prec)
+    errSq = np.zeros((nModes, L))
+    Hiter = np.zeros((nModes**2, nTaps, L if storeCoeff else 1), dtype=prec)
+    Sd = np.tile(np.eye(nTaps, dtype=prec), (nModes, 1))
+    constSymb = np.asarray(constSymb).astype(prec)
+    Rcma = np.full(nModes, np.mean(np.abs(constSymb) ** 4)
+                   / np.mean(np.abs(constSymb) ** 2)).astype(prec)
+    Rrde = np.unique(np.abs(constSymb)).astype(prec)
+    Hb, H_b = _blocks(H, nModes), _blocks(H_, nModes)
+    for ind in range(L):
+        win = sigIn[ind * SpS: ind * SpS + nTaps, :]  # (nTaps, nModes)
+        outEq = np.einsum("nmt,tn->m", Hb, win).reshape(nModes, 1)
+        if runWL:
+            outEq += np.einsum("nmt,tn->m", H_b, np.conj(win)).reshape(-1, 1)
+        sigOut[ind] = outEq[:, 0]
+        if alg == "nlms":
+            H, H_, errSq[:, ind] = nlmsUp(win, symbRef[ind], outEq, mu, H, H_,
+                                          nModes, runWL, prec)
+        elif alg == "cma":
+            H, H_, errSq[:, ind] = cmaUp(win, Rcma, outEq, mu, H, H_,
+                                         nModes, runWL, prec)
+        elif alg == "dd-lms":
+            H, H_, errSq[:, ind] = ddlmsUp(win, constSymb, outEq, mu, H, H_,
+                                           nModes, runWL, prec)
+        elif alg == "rde":
+            H, H_, errSq[:, ind] = rdeUp(win, Rrde, outEq, mu, H, H_,
+                                         nModes, runWL, prec)
+        elif alg == "da-rde":
+            H, H_, errSq[:, ind] = dardeUp(win, symbRef[ind], outEq, mu, H, H_,
+                                           nModes, runWL, prec)
+        elif alg == "rls":
+            H, Sd, errSq[:, ind] = rlsUp(win, symbRef[ind], outEq, lambdaRLS,
+                                         H, Sd, nModes, prec)
+        elif alg == "dd-rls":
+            H, Sd, errSq[:, ind] = ddrlsUp(win, constSymb, outEq, lambdaRLS,
+                                           H, Sd, nModes, prec)
+        elif alg == "static":
+            errSq[:, ind] = errSq[:, ind - 1] if ind else 0.0
+        else:
+            raise ValueError(f"unknown equalizer algorithm: {alg}")
+        Hiter[:, :, ind if storeCoeff else 0] = H
+    return sigOut, H, H_, errSq, Hiter
+
+
+# --- SISO FFE/DFE/Volterra cores (reference equalization.py:1301-2143) -----
+
+
+def _ffe_core_np(sigIn, symbRef, nTaps, SpS, mu, nTrain, prec, constSymb, f,
+                 trainingMode, preconvIters, is_complex):
+    sigIn = np.asarray(sigIn).reshape(-1).astype(prec)
+    symbRef = np.asarray(symbRef).reshape(-1).astype(prec)
+    constSymb = np.asarray(constSymb).astype(prec)
+    L = len(sigIn)
+    N = int((L - nTaps + nTaps % 2) // SpS)
+    if f is None:
+        f = np.zeros(nTaps, dtype=prec)
+        f[nTaps // 2] = 1.0
+    f = np.array(f, dtype=prec)
+    out = np.zeros(N, dtype=prec)
+    mse = np.zeros(N)
+    for _ in range(preconvIters):
+        for k in range(N):
+            xbuf = sigIn[k * SpS: k * SpS + nTaps]
+            y = np.dot(f, xbuf)
+            out[k] = y
+            ref = (symbRef[k] if k < nTrain
+                   else constSymb[np.argmin(np.abs(y - constSymb))])
+            e = ref - y
+            mse[k] = np.abs(e) ** 2
+            if trainingMode == "fulltime" or k < nTrain:
+                f = f + mu * e * (np.conj(xbuf) if is_complex else xbuf)
+    return out, f, mse
+
+
+def complexValuedFFECore(sigIn, symbRef, nTaps=5, SpS=1, mu=1e-4, nTrain=1000,
+                         prec=np.complex64, constSymb=None, f=None,
+                         trainingMode="data-aided", preconvIters=1):
+    """Complex FFE core (reference equalization.py:1763)."""
+    return _ffe_core_np(sigIn, symbRef, nTaps, SpS, mu, nTrain, prec,
+                        constSymb, f, trainingMode, preconvIters, True)
+
+
+def realValuedFFECore(sigIn, symbRef, nTaps=5, SpS=1, mu=1e-4, nTrain=1000,
+                      prec=np.float32, constSymb=None, f=None,
+                      trainingMode="data-aided", preconvIters=1):
+    """Real FFE core (reference equalization.py:1655)."""
+    return _ffe_core_np(sigIn, symbRef, nTaps, SpS, mu, nTrain, prec,
+                        np.real(constSymb), f, trainingMode, preconvIters,
+                        False)
+
+
+def _dfe_core_np(sigIn, symbRef, nTapsFF, nTapsFB, SpS, mu, nTrain, prec,
+                 constSymb, f, b, trainingMode, preconvIters, is_complex):
+    sigIn = np.asarray(sigIn).reshape(-1).astype(prec)
+    symbRef = np.asarray(symbRef).reshape(-1).astype(prec)
+    constSymb = np.asarray(constSymb).astype(prec)
+    L = len(sigIn)
+    N = int((L - nTapsFF + nTapsFF % 2) // SpS)
+    if f is None:
+        f = np.zeros(nTapsFF, dtype=prec)
+        f[nTapsFF // 2] = 1.0
+    if b is None:
+        b = np.zeros(nTapsFB, dtype=prec)
+    f = np.array(f, dtype=prec)
+    b = np.array(b, dtype=prec)
+    out = np.zeros(N, dtype=prec)
+    mse = np.zeros(N)
+    for _ in range(preconvIters):
+        dbuf = np.zeros(nTapsFB, dtype=prec)
+        for k in range(N):
+            xbuf = sigIn[k * SpS: k * SpS + nTapsFF]
+            y = np.dot(f, xbuf) + np.dot(b, dbuf)
+            out[k] = y
+            ref = (symbRef[k] if k < nTrain
+                   else constSymb[np.argmin(np.abs(y - constSymb))])
+            e = ref - y
+            mse[k] = np.abs(e) ** 2
+            if trainingMode == "fulltime" or k < nTrain:
+                f = f + mu * e * (np.conj(xbuf) if is_complex else xbuf)
+                b = b + mu * e * (np.conj(dbuf) if is_complex else dbuf)
+            dbuf = np.roll(dbuf, 1)
+            dbuf[0] = ref
+    return out, f, b, mse
+
+
+def complexValuedDFECore(sigIn, symbRef, nTapsFF=5, nTapsFB=5, SpS=1, mu=1e-4,
+                         nTrain=1000, prec=np.complex64, constSymb=None,
+                         f=None, b=None, trainingMode="data-aided",
+                         preconvIters=1):
+    """Complex DFE core (reference equalization.py:1424)."""
+    return _dfe_core_np(sigIn, symbRef, nTapsFF, nTapsFB, SpS, mu, nTrain,
+                        prec, constSymb, f, b, trainingMode, preconvIters,
+                        True)
+
+
+def realValuedDFECore(sigIn, symbRef, nTapsFF=5, nTapsFB=5, SpS=1, mu=1e-4,
+                      nTrain=1000, prec=np.float32, constSymb=None, f=None,
+                      b=None, trainingMode="data-aided", preconvIters=1):
+    """Real DFE core (reference equalization.py:1302)."""
+    return _dfe_core_np(sigIn, symbRef, nTapsFF, nTapsFB, SpS, mu, nTrain,
+                        prec, np.real(constSymb), f, b, trainingMode,
+                        preconvIters, False)
+
+
+def volterraCore(sigIn, symbRef, order=2, SpS=1, mu=1e-4, nTrain=1000,
+                 h1=None, h2=None, h3=None, prec=np.float32, constSymb=None,
+                 trainingMode="data-aided", preconvIters=1):
+    """Volterra equalizer core (reference equalization.py:1986).
+
+    Real-valued kernels to 3rd order; returns (sigOut, [h1, h2, h3], mse).
+    """
+    sigIn = np.asarray(sigIn).reshape(-1).real.astype(prec)
+    symbRef = np.asarray(symbRef).reshape(-1).real.astype(prec)
+    constSymb = np.real(np.asarray(constSymb)).astype(prec)
+    n1 = len(h1) if h1 is not None else 5
+    n2 = h2.shape[0] if h2 is not None else min(3, n1)
+    n3 = h3.shape[0] if h3 is not None else min(2, n1)
+    if h1 is None:
+        h1 = np.zeros(n1, dtype=prec)
+        h1[n1 // 2] = 1.0
+    if h2 is None:
+        h2 = np.zeros((n2, n2), dtype=prec)
+    if h3 is None:
+        h3 = np.zeros((n3, n3, n3), dtype=prec)
+    h1, h2, h3 = (np.array(h, dtype=prec) for h in (h1, h2, h3))
+    t2, t3 = (n1 - n2) // 2, (n1 - n3) // 2
+    L = len(sigIn)
+    N = int((L - n1 + n1 % 2) // SpS)
+    out = np.zeros(N, dtype=prec)
+    mse = np.zeros(N)
+    for _ in range(preconvIters):
+        for k in range(N):
+            win = sigIn[k * SpS: k * SpS + n1]
+            x2 = win[t2: t2 + n2]
+            o2 = np.outer(x2, x2)
+            y = np.dot(h1, win) + np.sum(h2 * o2)
+            if order == 3:
+                x3 = win[t3: t3 + n3]
+                o3 = x3[:, None, None] * x3[None, :, None] * x3[None, None, :]
+                y = y + np.sum(h3 * o3)
+            out[k] = y
+            ref = (symbRef[k] if k < nTrain
+                   else constSymb[np.argmin(np.abs(y - constSymb))])
+            e = ref - y
+            mse[k] = np.abs(e) ** 2
+            if trainingMode == "fulltime" or k < nTrain:
+                h1 = h1 + mu * e * win
+                h2 = h2 + (mu / 2) * e * o2
+                if order == 3:
+                    h3 = h3 + (mu / 7) * e * o3
+    return out, [h1, h2, h3], mse
