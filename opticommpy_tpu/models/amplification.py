@@ -359,8 +359,6 @@ def edfa_sm(e_in, fs, fc, cfg: EDFASMConfig = EDFASMConfig(), rng=None):
     max_try = 15
     err_ctrl = np.inf
     try_ctrl = 0
-    pid = _PID(cfg.kp, cfg.ki, cfg.kd, setpoint=cfg.value,
-               output_limits=(-pump_f / 2, pump_f / 2)) if cfg.type != "none" else None
 
     p_out = None
     while abs(np.mean(err_ctrl)) > cfg.tolCtrl and try_ctrl < max_try:
@@ -385,14 +383,15 @@ def edfa_sm(e_in, fs, fc, cfg: EDFASMConfig = EDFASMConfig(), rng=None):
             p_out = solve(p, 0, cfg.lngth)
             p = p_out.copy()
 
-            if np.all(pump_f == 0):
-                err_cvg = 1 - p_out[idx_pmp_b] / pump_b
-            elif np.all(pump_b == 0):
-                err_cvg = 1 - p_in[idx_pmp_f] / pump_f
-            else:
-                err_cvg = 1 - np.concatenate(
-                    [p_out[idx_pmp_b] / pump_b, p_in[idx_pmp_f] / pump_f]
-                )
+            # convergence on pump powers, skipping zero-power boundaries
+            # (0/0 would freeze the loop with NaN; reference :593-599 has
+            # the same criterion but never drives a pump to exactly zero)
+            ratios = []
+            if np.any(pump_b > 0):
+                ratios.append(p_out[idx_pmp_b][pump_b > 0] / pump_b[pump_b > 0])
+            if np.any(pump_f > 0):
+                ratios.append(p_in[idx_pmp_f][pump_f > 0] / pump_f[pump_f > 0])
+            err_cvg = (1 - np.concatenate(ratios)) if ratios else np.zeros(1)
             try_loop += 1
 
         if cfg.type == "none":
@@ -403,8 +402,12 @@ def edfa_sm(e_in, fs, fc, cfg: EDFASMConfig = EDFASMConfig(), rng=None):
             measured = 10 * np.log10(power_out / power_in)
         else:  # APC
             measured = 10 * np.log10(1e3 * power_out)
-        pump_f = pump_f + pid(measured)
-        pump_f = np.maximum(pump_f, 0.0)
+        # fresh PID per control step with limits from the CURRENT pump
+        # (reference :622-630): each update is a bounded relative step, so
+        # the pump can neither overshoot wildly nor collapse to zero
+        pid = _PID(cfg.kp, cfg.ki, cfg.kd, setpoint=cfg.value,
+                   output_limits=(-pump_f / 2, pump_f / 2))
+        pump_f = np.maximum(pump_f + pid(measured), 1e-6)
         err_ctrl = measured - cfg.value
         try_ctrl += 1
 

@@ -71,6 +71,24 @@ def test_edfa_sm_amplifies_with_agc():
     assert np.all(np.asarray(ppf) >= 0)
 
 
+def test_edfa_sm_agc_low_gain_strong_input():
+    """AGC must converge for a LOW gain target with a strong input.
+
+    Regression: the PID used to overshoot the pump to exactly zero, which
+    made the relaxation convergence ratio 0/0 = NaN and silently froze the
+    loop (returning an attenuating 'amplifier')."""
+    sig = _cw_wdm_signal(p_ch_w=2e-4)  # ~ -2 dBm total
+    fs, fc = 400e9, 193.1e12
+    cfg = EDFASMConfig(type="AGC", value=10.0, lngth=8.0,
+                       forPumpW=(60e-3,), bckPumpW=(0.0,),
+                       noiseBand=100e9, tolCtrl=0.5)
+    e_out, ppf, _, _ = edfa_sm(sig, fs, fc, cfg)
+    gain_db = 10 * np.log10(np.sum(np.mean(np.abs(e_out) ** 2, axis=0))
+                            / np.sum(np.mean(np.abs(sig) ** 2, axis=0)))
+    assert 8.5 < gain_db < 11.5, gain_db
+    assert np.all(np.asarray(ppf) > 0)
+
+
 def test_edfa_sm_pump_depletion():
     """More input power -> more pump depletion at fixed pump."""
     fs, fc = 400e9, 193.1e12
