@@ -77,7 +77,9 @@ def bit_source(key_or_seed, n_bits=1000, mode="random", order=23):
         key = ensure_key(key_or_seed)
         return jax.random.randint(key, (n_bits,), 0, 2, dtype=jnp.int32)
     elif mode == "prbs":
-        seed = key_or_seed if isinstance(key_or_seed, int) else 1
+        # An all-zero LFSR register is a fixed point, so seed 0 (or any
+        # non-positive / non-int key) falls back to register state 1.
+        seed = key_or_seed if isinstance(key_or_seed, int) and key_or_seed > 0 else 1
         prbs = prbs_generator(order, min(n_bits, 2**order - 1), seed)
         if prbs.shape[0] < n_bits:
             prbs = jnp.tile(prbs, n_bits // prbs.shape[0] + 1)
