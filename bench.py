@@ -106,19 +106,33 @@ def run_numpy_baseline(n_steps_measure=20):
     return N_SAMPLES / (dt * total_steps / n_steps_measure)
 
 
+def run_dsp_chain():
+    """Frozen-tap coherent DSP chain (MF+EDC+MIMO apply+BPS), Msym/s.
+
+    The converged/serving path of the flagship receiver (bench_dsp.py has the
+    full per-stage breakdown including the adaptive variants).
+    """
+    import bench_dsp
+
+    _, frozen, _, sig, h0 = bench_dsp.build_chain()
+    t = bench_dsp.time_fn(frozen, sig, h0)
+    return bench_dsp.N_SYM / t / 1e6
+
+
 def main():
     tpu_sps = run_tpu()
     base_sps = run_numpy_baseline()
-    print(
-        json.dumps(
-            {
-                "metric": "manakovSSF samples/s/chip (16QAM polmux WDM, 5x50km, hz=0.5km)",
-                "value": round(tpu_sps, 1),
-                "unit": "samples/s",
-                "vs_baseline": round(tpu_sps / base_sps, 2),
-            }
-        )
-    )
+    result = {
+        "metric": "manakovSSF samples/s/chip (16QAM polmux WDM, 5x50km, hz=0.5km)",
+        "value": round(tpu_sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(tpu_sps / base_sps, 2),
+    }
+    try:
+        result["dsp_chain_Msym_per_s"] = round(run_dsp_chain(), 3)
+    except Exception:  # auxiliary metric must never break the headline
+        pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
