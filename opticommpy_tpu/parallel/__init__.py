@@ -17,6 +17,7 @@ from opticommpy_tpu.parallel.distributed import (  # noqa: F401
 )
 from opticommpy_tpu.parallel.sharded import (  # noqa: F401
     manakov_ssf_dp,
+    manakov_ssf_pp,
     shard_batch,
     sharded_edc,
     sharded_fir,

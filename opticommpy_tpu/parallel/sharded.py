@@ -24,7 +24,13 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from opticommpy_tpu.models.channels import manakov_ssf
 from opticommpy_tpu.ops.filtering import _fft_conv_same
 
-__all__ = ["sharded_fir", "sharded_edc", "manakov_ssf_dp", "shard_batch"]
+__all__ = [
+    "sharded_fir",
+    "sharded_edc",
+    "manakov_ssf_dp",
+    "manakov_ssf_pp",
+    "shard_batch",
+]
 
 
 def _halo_exchange(x_local, halo_left, halo_right, axis_name):
@@ -123,6 +129,128 @@ def shard_batch(mesh, data_axis="data"):
     x/y polarization pair on the same chip.
     """
     return NamedSharding(mesh, P(None, data_axis))
+
+
+def manakov_ssf_pp(e_in, config, key, mesh, stage_axis="stage",
+                   n_microbatches=None):
+    """Pipeline-parallel Manakov SSFM: spans staged across chips.
+
+    The link's spans are split into ``S`` contiguous stages (one per device
+    along ``stage_axis``); the signal batch is split into ``M`` microbatches
+    that flow stage -> stage over ICI (``lax.ppermute``), GPipe-style. This is
+    the pipeline decomposition SURVEY.md §2.3 derives from the reference's
+    per-span loop (channels.py:380-456): stage = group of spans, field tensor
+    flows chip -> chip.
+
+    Schedule: ``M + S - 1`` ticks; at tick ``t`` stage ``s`` integrates
+    microbatch ``t - s`` through its spans, then hands the field to stage
+    ``s + 1``. Pipeline efficiency is ``M / (M + S - 1)`` — use
+    ``n_microbatches`` well above the stage count. Devices idle in the
+    fill/drain bubble compute throwaway zeros (no control flow divergence —
+    one compiled program for all stages).
+
+    Parameters
+    ----------
+    e_in : (N, 2*k) interleaved-polarization batch; ``k`` must be divisible
+        by ``n_microbatches``.
+    config : SSFMConfig — ``Ltotal/Lspan`` must give a span count divisible
+        by the stage count. Adaptive stepping (``nlprMethod``) is supported:
+        each microbatch is independent, so per-stage ``while_loop`` trip
+        counts need no cross-chip reduction.
+    key : PRNG key for ASE noise; folded per (global span, microbatch), so
+        statistics match the single-device path (bit-exact equality with
+        :func:`manakov_ssf` holds for ``amp='ideal'``/``None``; for
+        ``amp='edfa'`` the key streams necessarily differ).
+    n_microbatches : default = stage count.
+
+    Returns
+    -------
+    (N, 2*k) output field, microbatches re-assembled in input order.
+    """
+    from opticommpy_tpu.models.channels import (
+        EDFAConfig, _manakov_span, edfa, fiber_coefficients,
+    )
+
+    if config.Fs is None:
+        raise ValueError("Simulation sampling frequency (Fs) not provided.")
+    n_stages = mesh.shape[stage_axis]
+    m = n_stages if n_microbatches is None else int(n_microbatches)
+
+    e_in = jnp.asarray(e_in, dtype=jnp.complex64)
+    n = e_in.shape[0]
+    k = e_in.shape[1] // 2
+    if k % m:
+        raise ValueError(f"batch size {k} not divisible by {m} microbatches")
+    n_spans = int(np.floor(config.Ltotal / config.Lspan))
+    if n_spans % n_stages:
+        raise ValueError(
+            f"{n_spans} spans not divisible by {n_stages} pipeline stages"
+        )
+    spans_per_stage = n_spans // n_stages
+
+    # (M, 2, B_mb, N): microbatch axis leading; contiguous column blocks of
+    # size 2*(k/m) keep each signal's x/y pair in one microbatch
+    b_mb = k // m
+    ex = e_in[:, 0::2].T.reshape(m, b_mb, n)
+    ey = e_in[:, 1::2].T.reshape(m, b_mb, n)
+    e_mb = jnp.stack([ex, ey], axis=1)  # (M, 2, B_mb, N)
+
+    alpha, beta2 = fiber_coefficients(config.alpha, config.D, config.Fc)
+    w = 2 * jnp.pi * config.Fs * jnp.fft.fftfreq(n)
+    lin_arg = (-(alpha / 2) + 1j * (beta2 / 2) * w**2).astype(jnp.complex64)
+    amp_cfg = EDFAConfig(G=config.alpha * config.Lspan, NF=config.NF,
+                         Fc=config.Fc, Fs=config.Fs)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n_ticks = m + n_stages - 1
+    perm_fwd = [(i, i + 1) for i in range(n_stages - 1)]
+
+    def stage_spans(e, stage, mb_idx):
+        """Integrate (2, B_mb, N) through this stage's spans."""
+        def span(e, local_idx):
+            e = _manakov_span(e, lin_arg, config.Lspan, config)
+            if config.amp == "edfa":
+                span_key = jax.random.fold_in(
+                    jax.random.fold_in(key, stage * spans_per_stage + local_idx),
+                    mb_idx,
+                )
+                e = edfa(e, amp_cfg, span_key)
+            elif config.amp == "ideal":
+                e = e * jnp.exp(alpha / 2 * config.Lspan)
+            return e, None
+
+        e, _ = jax.lax.scan(span, e, jnp.arange(spans_per_stage))
+        return e
+
+    def pipelined(e_all):
+        stage = jax.lax.axis_index(stage_axis)
+
+        def tick(carry, t):
+            mb_idx = t - stage
+            feed = e_all[jnp.clip(mb_idx, 0, m - 1)]
+            cur = jnp.where(stage == 0, feed, carry)
+            done = stage_spans(cur, stage, mb_idx)
+            nxt = jax.lax.ppermute(done, stage_axis, perm_fwd)
+            return nxt, done
+
+        # the carry is device-varying from tick 0 (it crosses ppermute)
+        zeros = jax.lax.pcast(jnp.zeros_like(e_all[0]), stage_axis, to="varying")
+        _, outs = jax.lax.scan(tick, zeros, jnp.arange(n_ticks))
+        return outs  # (n_ticks, 2, B_mb, N); last stage's tail is the result
+
+    fn = jax.jit(jax.shard_map(
+        pipelined, mesh=mesh,
+        in_specs=P(), out_specs=P(stage_axis),
+    ))
+    outs = fn(e_mb)  # (S * n_ticks, 2, B_mb, N), stage-major
+    # last stage finishes microbatch t-(S-1) at tick t: its final M entries
+    final = outs[(n_stages - 1) * n_ticks + (n_stages - 1):]
+    ex = final[:, 0].reshape(k, n)
+    ey = final[:, 1].reshape(k, n)
+    out = jnp.zeros((n, 2 * k), dtype=jnp.complex64)
+    out = out.at[:, 0::2].set(ex.T)
+    out = out.at[:, 1::2].set(ey.T)
+    return out
 
 
 def manakov_ssf_dp(e_in, config, key, mesh, data_axis="data"):

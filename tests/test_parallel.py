@@ -8,7 +8,15 @@ import pytest
 from opticommpy_tpu.dsp import EDCConfig, edc
 from opticommpy_tpu.models import LinearFiberConfig, SSFMConfig, linear_fiber_channel, manakov_ssf
 from opticommpy_tpu.ops import fir_filter
-from opticommpy_tpu.parallel import make_mesh, manakov_ssf_dp, sharded_edc, sharded_fir
+from jax.sharding import Mesh
+
+from opticommpy_tpu.parallel import (
+    make_mesh,
+    manakov_ssf_dp,
+    manakov_ssf_pp,
+    sharded_edc,
+    sharded_fir,
+)
 
 
 @pytest.fixture(scope="module")
@@ -66,6 +74,56 @@ def test_sharded_edc_inverts_cd(mesh_time4):
     err0 = np.mean(np.abs(np.asarray(rec_shard)[sl] - np.asarray(sig)[sl]) ** 2)
     sig_pow_ = np.mean(np.abs(np.asarray(sig)[sl]) ** 2)
     assert err0 / sig_pow_ < 5e-2
+
+
+def _bandlimited_batch(rng, n, k_signals, scale=0.03):
+    sig = scale * (
+        rng.normal(size=(n, 2 * k_signals)) + 1j * rng.normal(size=(n, 2 * k_signals))
+    ).astype(np.complex64)
+    h = np.sinc(np.arange(-16, 17) / 4)
+    for c in range(sig.shape[1]):
+        sig[:, c] = np.convolve(sig[:, c], h, "same")
+    return jnp.asarray(sig.astype(np.complex64))
+
+
+@pytest.fixture(scope="module")
+def mesh_stage4():
+    return Mesh(np.array(jax.devices()[:4]), ("stage",))
+
+
+def test_manakov_pp_matches_single_device(mesh_stage4):
+    fs = 32e9 * 4
+    sig = _bandlimited_batch(np.random.default_rng(4), 2**11, 8)
+    # 8 spans over 4 pipeline stages, 8 signals in 4 microbatches
+    cfg = SSFMConfig(Ltotal=8 * 25, Lspan=25, hz=5.0, alpha=0.2, D=16,
+                     gamma=1.3, Fs=fs, amp="ideal", nlprMethod=False)
+    key = jax.random.PRNGKey(0)
+    out_single = manakov_ssf(sig, cfg, key)
+    out_pp = manakov_ssf_pp(sig, cfg, key, mesh_stage4, n_microbatches=4)
+    assert np.allclose(np.asarray(out_pp), np.asarray(out_single), rtol=1e-3, atol=2e-4)
+
+
+def test_manakov_pp_adaptive_step(mesh_stage4):
+    fs = 32e9 * 4
+    sig = _bandlimited_batch(np.random.default_rng(5), 2**10, 4)
+    cfg = SSFMConfig(Ltotal=4 * 25, Lspan=25, alpha=0.2, D=16, gamma=1.3,
+                     Fs=fs, amp="ideal", nlprMethod=True, maxNlinPhaseRot=2e-2)
+    key = jax.random.PRNGKey(1)
+    out_single = manakov_ssf(sig, cfg, key)
+    out_pp = manakov_ssf_pp(sig, cfg, key, mesh_stage4)  # M defaults to S=4
+    assert np.allclose(np.asarray(out_pp), np.asarray(out_single), rtol=1e-3, atol=2e-4)
+
+
+def test_manakov_pp_edfa_power(mesh_stage4):
+    """ASE path: pp output power stays near the (gain-balanced) input power."""
+    fs = 32e9 * 4
+    sig = _bandlimited_batch(np.random.default_rng(6), 2**10, 4, scale=0.05)
+    cfg = SSFMConfig(Ltotal=4 * 25, Lspan=25, hz=5.0, alpha=0.2, D=16,
+                     gamma=1.3, Fs=fs, amp="edfa", nlprMethod=False)
+    out_pp = manakov_ssf_pp(sig, cfg, jax.random.PRNGKey(2), mesh_stage4)
+    p_in = float(jnp.mean(jnp.abs(sig) ** 2))
+    p_out = float(jnp.mean(jnp.abs(out_pp) ** 2))
+    assert 0.8 * p_in < p_out < 1.6 * p_in  # gain-balanced + a little ASE
 
 
 def test_manakov_dp_matches_single_device(mesh8):
