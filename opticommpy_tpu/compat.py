@@ -388,13 +388,21 @@ def linearFiberChannel(Ei, param):
     return _ch.linear_fiber_channel(Ei, params_to_config(param, _cfg.LinearFiberConfig))
 
 
+def _prec_str(param):
+    """Reference `prec` is a numpy dtype (channels.py:312) -> 'c64'/'c128'."""
+    prec = getattr(param, "prec", None)
+    if prec is None or isinstance(prec, str):
+        return {}
+    return {"prec": "c128" if np.dtype(prec) == np.complex128 else "c64"}
+
+
 def ssfm(Ei, param):
-    return _ch.ssfm(Ei, params_to_config(param, _cfg.SSFMConfig),
-                    _key(getattr(param, "seed", None)))
+    cfg = params_to_config(param, _cfg.SSFMConfig, **_prec_str(param))
+    return _ch.ssfm(Ei, cfg, _key(getattr(param, "seed", None)))
 
 
 def manakovSSF(Ei, param):
-    cfg = params_to_config(param, _cfg.SSFMConfig)
+    cfg = params_to_config(param, _cfg.SSFMConfig, **_prec_str(param))
     return _ch.manakov_ssf(Ei, cfg, _key(getattr(param, "seed", None)))
 
 

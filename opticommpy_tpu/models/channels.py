@@ -52,6 +52,20 @@ def fiber_coefficients(alpha_db_km, D_ps_nm_km, fc_hz):
     return alpha, beta2
 
 
+def _solver_cdtype(cfg):
+    """Complex dtype for the SSFM solvers (cfg.prec: 'c64' | 'c128')."""
+    if cfg.prec == "c128":
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "prec='c128' requires x64 mode (jax.config.update("
+                "'jax_enable_x64', True) before tracing)"
+            )
+        return jnp.complex128
+    if cfg.prec != "c64":
+        raise ValueError(f"prec must be 'c64' or 'c128', got {cfg.prec!r}")
+    return jnp.complex64
+
+
 def linear_fiber_channel(e_in, config: LinearFiberConfig):
     """Linear fiber: one-shot frequency-domain loss + chromatic dispersion.
 
@@ -105,7 +119,8 @@ def ssfm(e_in, config: SSFMConfig, key=None):
     """
     if config.Fs is None:
         raise ValueError("Simulation sampling frequency (Fs) not provided.")
-    e_in = jnp.asarray(e_in, dtype=jnp.complex64)
+    cdtype = _solver_cdtype(config)
+    e_in = jnp.asarray(e_in, dtype=cdtype)
     squeeze = e_in.ndim == 1
     if squeeze:
         e_in = e_in[:, None]
@@ -119,7 +134,7 @@ def ssfm(e_in, config: SSFMConfig, key=None):
     n_steps = int(np.floor(config.Lspan / hz))
 
     w = 2 * jnp.pi * config.Fs * jnp.fft.fftfreq(n)
-    lin_arg = (-(alpha / 2) + 1j * (beta2 / 2) * w**2).astype(jnp.complex64)
+    lin_arg = (-(alpha / 2) + 1j * (beta2 / 2) * w**2).astype(cdtype)
     fft_fwd, fft_inv, lin_arg = _fft_pair(config, lin_arg)
     lin_half = jnp.exp(lin_arg * (hz / 2))
 
@@ -162,7 +177,7 @@ def ssfm(e_in, config: SSFMConfig, key=None):
         if config.amp == "edfa":
             e = edfa(e, amp_cfg, jax.random.fold_in(key, span_idx))
         elif config.amp == "ideal":
-            e = e * jnp.exp(alpha / 2 * n_steps * hz)
+            e = e * float(np.exp(alpha / 2 * n_steps * hz))  # weak: no x64 promotion
         return e, None
 
     e, _ = jax.lax.scan(span, e, jnp.arange(n_spans))
@@ -186,7 +201,7 @@ def _manakov_step(e, pch, lin_op, hz_, cfg: SSFMConfig, nl_sign):
 
     def one_iter(e_conv):
         phi = nlin_phase_rot(e_conv[0], e_conv[1], pch, gamma_)
-        rot = jnp.exp(nl_sign * 1j * phi * hz_).astype(jnp.complex64)
+        rot = jnp.exp(nl_sign * 1j * phi * hz_).astype(e.dtype)
         return jnp.fft.ifft(jnp.fft.fft(e_hd * rot, axis=-1) * lin_op, axis=-1)
 
     if cfg.trapIters > 0:
@@ -218,7 +233,7 @@ def _fft_pair(cfg: SSFMConfig, lin_arg):
     (kernels/matmul_fft.py); ``lin_arg`` is permuted to match, which keeps
     every frequency-diagonal operator application exact in that order.
     """
-    if cfg.fftBackend == "matmul":
+    if cfg.fftBackend == "matmul" and cfg.prec == "c64":
         from opticommpy_tpu.kernels.matmul_fft import fwd_factory
 
         try:
@@ -276,7 +291,7 @@ def _manakov_span(e, lin_arg, span_len, cfg: SSFMConfig, nl_sign=1.0):
                 # (channels.py:471) reduces to (8/9)*gamma*pch here
                 rot = jnp.exp(
                     nl_sign * 1j * ((8 / 9) * gamma_ * hz_) * pch
-                ).astype(jnp.complex64)
+                ).astype(et.dtype)
                 return fft_fwd(et * rot) * lin_gap
 
             n_uni = 0
@@ -356,7 +371,8 @@ def manakov_ssf(e_in, config: SSFMConfig, key=None, save_all_spans=False):
     """
     if config.Fs is None:
         raise ValueError("Simulation sampling frequency (Fs) not provided.")
-    e_in = jnp.asarray(e_in, dtype=jnp.complex64)
+    cdtype = _solver_cdtype(config)
+    e_in = jnp.asarray(e_in, dtype=cdtype)
     n = e_in.shape[0]
     # (2, B, N): pol axis leading, batch of signals, time on lanes
     ex = e_in[:, 0::2].T
@@ -366,7 +382,7 @@ def manakov_ssf(e_in, config: SSFMConfig, key=None, save_all_spans=False):
     alpha, beta2 = fiber_coefficients(config.alpha, config.D, config.Fc)
     n_spans = int(np.floor(config.Ltotal / config.Lspan))
     w = 2 * jnp.pi * config.Fs * jnp.fft.fftfreq(n)
-    lin_arg = (-(alpha / 2) + 1j * (beta2 / 2) * w**2).astype(jnp.complex64)
+    lin_arg = (-(alpha / 2) + 1j * (beta2 / 2) * w**2).astype(cdtype)
 
     amp_cfg = EDFAConfig(G=config.alpha * config.Lspan, NF=config.NF,
                          Fc=config.Fc, Fs=config.Fs)
@@ -378,7 +394,7 @@ def manakov_ssf(e_in, config: SSFMConfig, key=None, save_all_spans=False):
         if config.amp == "edfa":
             e = edfa(e, amp_cfg, jax.random.fold_in(key, span_idx))
         elif config.amp == "ideal":
-            e = e * jnp.exp(alpha / 2 * config.Lspan)
+            e = e * float(np.exp(alpha / 2 * config.Lspan))  # weak: no x64 promotion
         out = _to_columns(e, n) if save_all_spans else None
         return e, out
 

@@ -189,6 +189,11 @@ class SSFMConfig:
     # matmul-FFT stage precision: 'highest' (f32 MXU passes, 3e-7/roundtrip)
     # or 'high' (bf16x3, ~1.16x faster per step at 6e-5/roundtrip).
     fftPrecision: str = "highest"
+    # solver precision: 'c64' (default — the TPU-native path) or 'c128'
+    # (requires jax_enable_x64; used for precision studies on CPU, matching
+    # the reference's `prec` parameter, channels.py:312). c128 forces the
+    # exact 'xla' FFT backend.
+    prec: str = "c64"
 
 
 @dataclass(frozen=True)

@@ -216,7 +216,7 @@ def manakov_ssf_pp(e_in, config, key, mesh, stage_axis="stage",
                 )
                 e = edfa(e, amp_cfg, span_key)
             elif config.amp == "ideal":
-                e = e * jnp.exp(alpha / 2 * config.Lspan)
+                e = e * float(np.exp(alpha / 2 * config.Lspan))
             return e, None
 
         e, _ = jax.lax.scan(span, e, jnp.arange(spans_per_stage))

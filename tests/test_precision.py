@@ -71,3 +71,92 @@ def test_c64_ssfm_error_floor_below_physics():
     # ASE-limited links live below ~30 dB OSNR; the solver floor must sit
     # far underneath (reference tests allow 20% BER error, i.e. ~0.1 dB)
     assert snr_db > 40.0, f"c64 solver floor too high: {snr_db:.1f} dB"
+
+
+@pytest.mark.slow
+def test_c64_fused_matmul_fft_error_floor():
+    """The bench headline path (fusedLinear + matmul FFT) has the same floor.
+
+    The MXU matmul FFT adds ~3e-7 relative error per roundtrip; over 200
+    steps the accumulated solver noise must still sit > 40 dB below signal.
+    (The fused scheme anchors the nonlinear rotation differently from the
+    trapezoidal scheme, so both are compared at their own O(h^2) accuracy.)
+    """
+    fs = 32e9 * 8
+    rng = np.random.default_rng(1)
+    n = 2**13
+    sps = 8
+    n_sym = n // sps
+    s = rng.choice([-1 - 1j, -1 + 1j, 1 - 1j, 1 + 1j], size=(n_sym, 2))
+    up = np.zeros((n, 2), dtype=complex)
+    up[::sps] = s
+    h = np.sinc(np.arange(-4 * sps, 4 * sps + 1) / sps)
+    sig = np.stack([np.convolve(up[:, k], h, "same") for k in range(2)], axis=1)
+    sig = (0.05 * sig).astype(np.complex64)
+
+    ex128, ey128 = _numpy_manakov_c128(
+        sig[:, 0], sig[:, 1], fs, 100, 50, 0.5, 0.2, 16, 1.3
+    )
+    ref = np.stack([ex128, ey128], axis=1)
+
+    cfg = SSFMConfig(Ltotal=100, Lspan=50, hz=0.5, alpha=0.2, D=16, gamma=1.3,
+                     Fs=fs, amp="ideal", nlprMethod=False, trapIters=1,
+                     fusedLinear=True, fftBackend="matmul")
+    out = np.asarray(manakov_ssf(jnp.asarray(sig), cfg))
+    snr_db = 10 * np.log10(np.mean(np.abs(ref) ** 2)
+                           / np.mean(np.abs(out - ref) ** 2))
+    assert snr_db > 40.0, f"fused+matmul solver floor too high: {snr_db:.1f} dB"
+
+
+_X64_STUDY = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+import jax.numpy as jnp
+from opticommpy_tpu.models import SSFMConfig, manakov_ssf
+
+fs = 32e9 * 8
+rng = np.random.default_rng(0)
+n = 2**13
+sps = 8
+s = rng.choice([-1 - 1j, -1 + 1j, 1 - 1j, 1 + 1j], size=(n // sps, 2))
+up = np.zeros((n, 2), dtype=complex)
+up[::sps] = s
+h = np.sinc(np.arange(-4 * sps, 4 * sps + 1) / sps)
+sig = np.stack([np.convolve(up[:, k], h, "same") for k in range(2)], axis=1)
+sig = (0.05 * sig).astype(np.complex128)
+
+kw = dict(Ltotal=100, Lspan=50, hz=0.5, alpha=0.2, D=16, gamma=1.3,
+          Fs=fs, amp="ideal", nlprMethod=False, trapIters=1)
+ref = np.asarray(manakov_ssf(jnp.asarray(sig), SSFMConfig(prec="c128", **kw)))
+assert ref.dtype == np.complex128
+o64 = np.asarray(manakov_ssf(jnp.asarray(sig), SSFMConfig(prec="c64", **kw)))
+assert o64.dtype == np.complex64
+snr = 10 * np.log10(np.mean(np.abs(ref) ** 2) / np.mean(np.abs(o64 - ref) ** 2))
+print(f"SNR_DB={snr:.2f}")
+"""
+
+
+@pytest.mark.slow
+def test_c64_vs_c128_same_solver_subprocess():
+    """Run the SAME solver at prec='c128' (x64 subprocess) vs prec='c64'.
+
+    Unlike the NumPy-transcription test above this isolates pure rounding
+    (identical scheme, identical operator ordering): the c64 floor against
+    the solver's own c128 output must clear 40 dB with margin.
+    """
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-c", _X64_STUDY],
+        capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ, "XLA_FLAGS": ""},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("SNR_DB=")][-1]
+    snr_db = float(line.split("=")[1])
+    assert snr_db > 45.0, f"c64-vs-c128 rounding floor too high: {snr_db:.1f} dB"
