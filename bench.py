@@ -106,17 +106,34 @@ def run_numpy_baseline(n_steps_measure=20):
     return N_SAMPLES / (dt * total_steps / n_steps_measure)
 
 
-def run_dsp_chain():
+def run_dsp_chain(batch=8):
     """Frozen-tap coherent DSP chain (MF+EDC+MIMO apply+BPS), Msym/s.
 
-    The converged/serving path of the flagship receiver (bench_dsp.py has the
-    full per-stage breakdown including the adaptive variants).
+    The converged/serving path of the flagship receiver, amortized over a
+    batch of `batch` polmux signals vmapped through one program (a WDM
+    receiver serves many channels per dispatch; bench_dsp.py has the
+    per-stage breakdown and single-signal/adaptive variants).
     """
+    import jax
+    import jax.numpy as jnp
+
     import bench_dsp
 
     _, frozen, _, sig, h0 = bench_dsp.build_chain()
-    t = bench_dsp.time_fn(frozen, sig, h0)
-    return bench_dsp.N_SYM / t / 1e6
+    sig_b = jnp.broadcast_to(sig, (batch,) + sig.shape)
+    h_b = jnp.broadcast_to(h0, (batch,) + h0.shape)
+
+    @jax.jit
+    def run(sig_b, h_b):
+        return jnp.sum(jax.vmap(frozen)(sig_b, h_b))
+
+    float(run(sig_b, h_b))  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(sig_b, h_b))
+        times.append(time.perf_counter() - t0)
+    return batch * bench_dsp.N_SYM / min(times) / 1e6
 
 
 def main():
@@ -129,7 +146,7 @@ def main():
         "vs_baseline": round(tpu_sps / base_sps, 2),
     }
     try:
-        result["dsp_chain_Msym_per_s"] = round(run_dsp_chain(), 3)
+        result["dsp_chain_Msym_per_s_batch8"] = round(run_dsp_chain(), 3)
     except Exception:  # auxiliary metric must never break the headline
         pass
     print(json.dumps(result))

@@ -70,6 +70,7 @@ def build_chain():
         return jnp.mean((out * jnp.conj(out)).real)
 
     def frozen_chain(sig_ri, h_ri):
+        from opticommpy_tpu.kernels.bps_pallas import bps_pallas
         from opticommpy_tpu.ops.filtering import fir_filter
 
         sig = (sig_ri[..., 0] + 1j * sig_ri[..., 1]).astype(jnp.complex64)
@@ -78,7 +79,8 @@ def build_chain():
         x = edc(x, edc_cfg)
         x = pnorm(x)
         y = mimo_apply(H, x, SPS)
-        est = bps(y, 32, jnp.asarray(const), 64)
+        est = bps_pallas(y, 32, const, 64,
+                         interpret=jax.default_backend() == "cpu")
         out = y * jnp.exp(1j * est)
         return jnp.mean((out * jnp.conj(out)).real)
 

@@ -50,6 +50,37 @@ def test_bps_pallas_two_modes_and_odd_sizes():
     assert np.mean(np.asarray(est) != np.asarray(ref)) < 0.02
 
 
+def test_bps_pallas_nonsquare_constellation():
+    """PSK has no square grid -> exercises the unrolled M-point min path."""
+    rng = np.random.default_rng(4)
+    n = 1500
+    bits = rng.integers(0, 2, size=n * 3)
+    tx = pnorm(modulate_gray(jnp.asarray(bits), 8, "psk"))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    phi = phase_noise(k1, 1e-6, n, 1.0)
+    sig = tx * jnp.exp(1j * phi) + gaussian_complex_noise(k2, (n,), 10 ** -2.2)
+    const = pnorm(jnp.asarray(gray_mapping(8, "psk")))
+    from opticommpy_tpu.kernels.bps_pallas import _square_qam_levels
+    assert _square_qam_levels(np.asarray(const.real), np.asarray(const.imag)) is None
+    est = np.asarray(bps_pallas(sig, 12, const, 64, block=256, interpret=True))
+    ref = np.asarray(bps(sig, 12, const, 64))
+    # 8-PSK distances are pi/4-periodic in phase, so test phases pi/4 apart
+    # tie exactly and argmin tie-breaks differ; compare modulo the symmetry
+    d = np.angle(np.exp(1j * 8 * (est - ref))) / 8
+    assert np.mean(np.abs(d) > 1e-4) < 0.02
+
+
+def test_bps_pallas_three_modes_packed_plus_remainder():
+    """64 phases pack 2 modes/call; 3 modes = one packed call + one single."""
+    sigs = [_test_signal(n=900, seed=s)[0] for s in (5, 6, 7)]
+    sig = jnp.stack(sigs, axis=1)
+    const = pnorm(jnp.asarray(gray_mapping(16, "qam")))
+    est = bps_pallas(sig, 10, const, 64, block=128, interpret=True)
+    assert est.shape == (900, 3)
+    ref = bps(sig, 10, const, 64)
+    assert np.mean(np.asarray(est) != np.asarray(ref)) < 0.02
+
+
 def test_ddpll_pallas_matches_scan():
     from opticommpy_tpu.dsp import ddpll
     from opticommpy_tpu.kernels.ddpll_pallas import ddpll_pallas
