@@ -79,7 +79,8 @@ def test_coherent_pipeline_pallas_backend():
     d_ref = pnorm(symbol_sync(pre, symb_tx[:, :, 0], 2))
 
     cfg = CoherentDSPConfig(SpS_in=cfg_tx.SpS, nFilterTaps=512, L=100,
-                            nTrain=6000, mu=(2e-3, 1e-3), eqBackend="pallas")
+                            nTrain=6000, mu=(2e-3, 1e-3), eqBackend="pallas",
+                            cprBackend="pallas")
     y, _ = jax.jit(lambda s, d: coherent_dsp_chain(s, d, cfg))(sig_rx, d_ref)
     disc = 7000
     ber, _, _ = fast_ber_calc(y[disc:-100], d_ref[disc:-100], 16, "qam")
