@@ -85,6 +85,7 @@ def build_chain():
         return jnp.mean((out * jnp.conj(out)).real)
 
     def pallas_chain(sig_ri, h_ri):
+        from opticommpy_tpu.kernels.bps_pallas import bps_pallas
         from opticommpy_tpu.kernels.mimo_pallas import mimo_eq_pallas
         from opticommpy_tpu.ops.filtering import fir_filter
 
@@ -98,7 +99,8 @@ def build_chain():
             sps=SPS, mu=2e-3, n_train=N_SYM // 8,
             interpret=jax.default_backend() == "cpu",
         )
-        est = bps(y, 32, jnp.asarray(const), 64)
+        est = bps_pallas(y, 32, const, 64,
+                         interpret=jax.default_backend() == "cpu")
         out = y * jnp.exp(1j * est)
         return jnp.mean((out * jnp.conj(out)).real)
 
