@@ -1,0 +1,242 @@
+"""Pallas TPU kernel for Gardner clock recovery (PI loop + NCO).
+
+The reference NCO loop (clockRecovery.py:85-191) is a strict per-sample
+recurrence with data-dependent pointer moves on BOTH sides: each iteration
+interpolates one output sample at timing ``t_nco`` from input position
+``m``, feeds the Gardner timing error of the *just-written* outputs back
+into a PI loop filter, and then skips/stuffs samples (output pointer moves
+by -1/+1/+2, input pointer by 0/+1). The XLA ``lax.while_loop`` form pays
+~10 us per iteration on the TPU (dynamic-slice feedback through a full
+output buffer); this kernel runs the whole recurrence on-chip:
+
+- pass 1 (Pallas): the sequential loop with all state in SMEM scalars
+  (pointers, loop filter) and the 8-deep output feedback ring in VMEM
+  lanes. It emits *iteration-indexed* records — interpolated value, NCO
+  timing, and the output index each landed on — so the kernel never needs
+  data-dependent output addressing.
+- pass 2 (XLA, vectorized): places records at their output indices with
+  deterministic last-write-wins semantics (an order-independent
+  ``.at[].max`` over iteration numbers picks the winner per index — the
+  backstep case where an output is rewritten).
+
+Equivalent to ``dsp.clock_recovery._gardner_one_mode`` (tests compare them
+sample-by-sample). The input signal lives fully in VMEM as an (N/128, 128)
+plane per real/imag part, so N is bounded by VMEM (~2^20 samples/mode);
+4-sample interpolation windows at dynamic positions are read as two
+dynamically-offset sublane rows + iota-mask lane extraction (Mosaic has no
+dynamic lane indexing).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from opticommpy_tpu.kernels._util import split_ri
+
+__all__ = ["gardner_pallas"]
+
+_LANES = 128
+
+
+def _kernel(colr_ref, coli_ref, rec_ref, state_i, state_f, ring,
+            *, iters_block, n_in, n_out, kp, ki, is_nyquist):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        state_i[0] = 2  # n: output pointer
+        state_i[1] = 2  # m: input pointer
+        state_f[0] = 0.0  # int_part (PI integrator)
+        state_f[1] = 0.0  # t_nco
+        ring[...] = jnp.zeros_like(ring)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    flat2 = jax.lax.broadcasted_iota(jnp.int32, (2, _LANES), 1) + \
+        jax.lax.broadcasted_iota(jnp.int32, (2, _LANES), 0) * _LANES
+
+    def ring_get(slot):
+        m8 = (lane == slot).astype(jnp.float32)
+        return (jnp.sum(ring[0:1, :] * m8), jnp.sum(ring[1:2, :] * m8))
+
+    def body(i, _):
+        n = state_i[0]
+        m = state_i[1]
+        int_part = state_f[0]
+        t_nco = state_f[1]
+        active = jnp.logical_and(n < n_out - 1, m < n_in - 2)
+
+        # --- 4-sample window col[m-2 : m+2] at a dynamic position ---------
+        r0 = (m - 2) // _LANES
+        q = (m - 2) % _LANES
+        two_re = colr_ref[pl.ds(r0, 2), :]  # (2, 128): rows r0, r0+1
+        two_im = coli_ref[pl.ds(r0, 2), :]
+
+        def pick(two, off):
+            return jnp.sum(jnp.where(flat2 == q + off, two, 0.0))
+
+        x0r, x1r, x2r, x3r = (pick(two_re, o) for o in range(4))
+        x0i, x1i, x2i, x3i = (pick(two_im, o) for o in range(4))
+
+        # --- cubic Farrow interpolation (clockRecovery.py:60) --------------
+        t = t_nco
+        c0 = -t**3 / 6 + t / 6
+        c1 = t**3 / 2 + t**2 / 2 - t
+        c2 = -t**3 / 2 - t**2 + t / 2 + 1
+        c3 = t**3 / 6 + t**2 / 2 + t / 3
+        val_re = x0r * c0 + x1r * c1 + x2r * c2 + x3r * c3
+        val_im = x0i * c0 + x1i * c1 + x2i * c2 + x3i * c3
+
+        # --- output feedback ring: eo[n] = val ------------------------------
+        slot = jax.lax.rem(n, 8)
+        wr = jnp.logical_and(lane == slot, active)
+        ring[0:1, :] = jnp.where(wr, val_re, ring[0:1, :])
+        ring[1:2, :] = jnp.where(wr, val_im, ring[1:2, :])
+
+        # --- Gardner TED on eo[n-2 : n+1], even n only ----------------------
+        e0r, e0i = ring_get(jax.lax.rem(n - 2, 8))
+        e1r, e1i = ring_get(jax.lax.rem(n - 1, 8))
+        if is_nyquist:
+            ted = (e1r * e1r + e1i * e1i) * (
+                (e0r * e0r + e0i * e0i) - (val_re * val_re + val_im * val_im)
+            )
+        else:
+            # Re(conj(eo[n-1]) * (eo[n] - eo[n-2]))
+            ted = e1r * (val_re - e0r) + e1i * (val_im - e0i)
+        do_ted = jnp.logical_and(active, jax.lax.rem(n, 2) == 0)
+        int_new = jnp.where(do_ted, ki * ted + int_part, int_part)
+        t_new = jnp.where(do_ted, t_nco - (kp * ted + int_new), t_nco)
+
+        # --- NCO clock gap: skip/stuff (clockRecovery.py:160-171) ----------
+        over = t_new > 1.0
+        under = t_new < -1.0
+        t_adj = jnp.where(over, t_new - 1.0,
+                          jnp.where(under, t_new + 1.0, t_new))
+        dn = jnp.where(over, -1, jnp.where(under, 2, 1))
+        dm = jnp.where(over, 0, 1)
+        n_next = jnp.where(active, n + dn, n)
+        m_next = jnp.where(active, m + dm, m)
+
+        # a stuffed (skipped) output index keeps its zero in the reference's
+        # pre-zeroed buffer: zero that ring slot so later TEDs see zero too
+        zr = jnp.logical_and(lane == jax.lax.rem(n + 1, 8),
+                             jnp.logical_and(under, active))
+        ring[0:1, :] = jnp.where(zr, 0.0, ring[0:1, :])
+        ring[1:2, :] = jnp.where(zr, 0.0, ring[1:2, :])
+
+        # --- iteration-indexed record row -----------------------------------
+        af = active.astype(jnp.float32)
+        row = (
+            val_re * (lane == 0) + val_im * (lane == 1)
+            + t_adj * (lane == 2) + n.astype(jnp.float32) * (lane == 3)
+            + n_next.astype(jnp.float32) * (lane == 4) + af * (lane == 5)
+        ).astype(jnp.float32)
+        rec_ref[i, :] = jnp.where(lane < 6, row, 0.0)[0]
+
+        state_i[0] = n_next
+        state_i[1] = m_next
+        state_f[0] = int_new
+        state_f[1] = t_adj
+        return 0
+
+    jax.lax.fori_loop(0, iters_block, body, 0)
+
+
+@partial(jax.jit, static_argnames=("cfg_tuple", "n_out", "block", "interpret"))
+def _gardner_pallas_1d(col_re, col_im, cfg_tuple, n_out, block=512,
+                       interpret=False):
+    """Records for one mode. Returns (eo, t_vals, n_final)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    kp, ki, is_nyquist = cfg_tuple
+    n_in = col_re.shape[0]
+    n_rows = int(np.ceil((n_in + 1) / _LANES)) + 1  # +1 row: ds(r0, 2) slack
+    pad = n_rows * _LANES - n_in
+
+    def plane(x):
+        return jnp.pad(x, (0, pad)).reshape(n_rows, _LANES)
+
+    iters = n_in + n_in // 64 + 64  # covers worst-case skip stalls
+    n_blocks = int(np.ceil(iters / block))
+    iters_pad = n_blocks * block
+
+    kernel = partial(_kernel, iters_block=block, n_in=n_in, n_out=int(n_out),
+                     kp=float(kp), ki=float(ki), is_nyquist=bool(is_nyquist))
+    rec = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((n_rows, _LANES), lambda i: (0, 0)),
+            pl.BlockSpec((n_rows, _LANES), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block, _LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((iters_pad, _LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((2,), jnp.float32),
+            pltpu.VMEM((2, _LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(plane(col_re), plane(col_im))
+
+    # ---- pass 2: vectorized record placement (XLA) -------------------------
+    val = (rec[:, 0] + 1j * rec[:, 1]).astype(jnp.complex64)
+    t_adj = rec[:, 2]
+    n_at = rec[:, 3].astype(jnp.int32)
+    n_next = rec[:, 4].astype(jnp.int32)
+    act = rec[:, 5] > 0.5
+
+    it = jnp.arange(iters_pad, dtype=jnp.int32)
+    # deterministic last-write-wins: highest iteration number per index
+    win = jnp.full((n_out,), -1, dtype=jnp.int32)
+    win = win.at[jnp.where(act, n_at, n_out)].max(it, mode="drop")
+    eo = jnp.where(win >= 0, val[jnp.clip(win, 0)], 0.0 + 0.0j)
+
+    # t_vals[clip(n_next, 0, n_out-1)] = t_nco (after update), last wins
+    win_t = jnp.full((n_out,), -1, dtype=jnp.int32)
+    win_t = win_t.at[jnp.where(act, jnp.clip(n_next, 0, n_out - 1), n_out)
+                     ].max(it, mode="drop")
+    t_vals = jnp.where(win_t >= 0, t_adj[jnp.clip(win_t, 0)], 0.0)
+
+    n_final = jnp.max(jnp.where(act, n_next, 2))
+    return eo, t_vals.astype(jnp.float32), n_final
+
+
+def gardner_pallas(sig, config=None, return_timing=False, block=512,
+                   interpret=False):
+    """Pallas Gardner clock recovery (drop-in for gardner_clock_recovery).
+
+    Same semantics as :func:`opticommpy_tpu.dsp.clock_recovery.
+    gardner_clock_recovery`; ~20x faster on TPU (the while_loop pays ~10 us
+    per output sample, this kernel ~0.5 us).
+    """
+    from opticommpy_tpu.dsp.clock_recovery import ClockRecoveryConfig
+
+    cfg = config if config is not None else ClockRecoveryConfig()
+    sig_re, sig_im = split_ri(sig)
+    squeeze = sig_re.ndim == 1
+    if squeeze:
+        sig_re, sig_im = sig_re[:, None], sig_im[:, None]
+    sig_re = jnp.pad(sig_re, ((0, cfg.lpad), (0, 0)))
+    sig_im = jnp.pad(sig_im, ((0, cfg.lpad), (0, 0)))
+    n_in = sig_re.shape[0]
+    n_out = int((1 - cfg.maxPPM / 1e6) * n_in)
+    cfg_tuple = (float(cfg.kp), float(cfg.ki), bool(cfg.isNyquist))
+
+    outs, t_vals, n_fin = [], [], []
+    for k in range(sig_re.shape[1]):
+        eo, tv, nf = _gardner_pallas_1d(
+            sig_re[:, k], sig_im[:, k], cfg_tuple, n_out,
+            block=block, interpret=interpret,
+        )
+        outs.append(eo)
+        t_vals.append(tv)
+        n_fin.append(nf)
+    last_n = int(jnp.max(jnp.stack(n_fin)))
+    eo = jnp.stack(outs, axis=1)[:last_n]
+    tv = jnp.stack(t_vals, axis=1)[:last_n]
+    if squeeze:
+        eo, tv = eo[:, 0], tv[:, 0]
+    return (eo, tv) if return_timing else eo
