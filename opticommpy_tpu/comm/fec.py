@@ -14,8 +14,10 @@ TPU-native counterpart of reference ``optic/comm/fec.py``:
   runs on a *padded edge-array* layout: messages live on a (m, dc_max) check-
   major grid with a validity mask (replacing the reference's ragged
   ``numba.typed.List`` CSR walk), check updates are row-wise masked
-  reductions (tanh-product or min1/min2), and variable updates use one
-  ``segment_sum`` over edges. Codewords batch on a trailing axis; early
+  reductions (prefix/suffix tanh-products or min1/min2), and variable
+  updates GATHER each variable's incident edges via a precomputed inverse
+  edge map (scatter-free: batched scatter-adds crash the XLA:TPU compiler
+  on some runtimes, and gathers are faster on TPU regardless). Codewords batch on a trailing axis; early
   stopping is realized by freezing converged codewords under a fixed
   iteration scan (bit-identical results to per-codeword early exit).
 """
@@ -454,29 +456,46 @@ def ldpc_graph(H):
     m, n = H.shape
     cn_idx, cn_mask = _sparse_rows(H)
     edge_var = cn_idx.reshape(-1)
+    # variable-side inverse map: the flat edge ids incident to each variable,
+    # padded with E (which indexes a zero sentinel appended to the flat
+    # message array). Turns the variable update into a GATHER — scatter-adds
+    # (segment_sum) under vmap crash the XLA:TPU compiler on some runtimes
+    # and are slower than gathers on TPU anyway.
+    flat_valid = cn_mask.reshape(-1)
+    E = edge_var.size
+    lists = [[] for _ in range(n)]
+    for e in np.nonzero(flat_valid)[0]:
+        lists[int(edge_var[e])].append(e)
+    dv_max = max((len(l) for l in lists), default=1)
+    vn_edge = np.full((n, dv_max), E, dtype=np.int32)
+    for v, l in enumerate(lists):
+        vn_edge[v, : len(l)] = l
     return {
         "cn_idx": cn_idx,
         "cn_mask": cn_mask,
         "edge_var": edge_var,
+        "vn_edge": vn_edge,
         "n": n,
         "m": m,
         "dc_max": cn_idx.shape[1],
     }
 
 
-def _bp_decode(llr, cn_idx, cn_mask, edge_var, n, max_iter, alg):
+def _bp_decode(llr, cn_idx, cn_mask, vn_edge, n, max_iter, alg):
     """BP decode one codeword. llr: (n,). Returns (final_llr, n_iters, fail)."""
     m, dc = cn_idx.shape
-    maskf = cn_mask.astype(llr.dtype)
 
     def check_update_spa(msg_vc):
         t = jnp.tanh(msg_vc / 2.0)
         t = jnp.where(cn_mask, t, 1.0)
-        # leave-one-out product per row, O(dc^2) masked (reference fec.py:443)
-        eye = jnp.eye(dc, dtype=bool)
-        t_excl = jnp.where(eye[None, :, :], 1.0, t[:, None, :])  # (m, dc, dc)
-        prod = jnp.prod(t_excl, axis=2)
-        prod = jnp.clip(prod, -0.999999, 0.999999)
+        # leave-one-out product per row as exclusive prefix x suffix
+        # cumulative products — O(dc) (the reference's per-edge form is
+        # O(dc^2), fec.py:443)
+        f = jnp.cumprod(t, axis=1)
+        fe = jnp.concatenate([jnp.ones((m, 1), t.dtype), f[:, :-1]], axis=1)
+        b = jnp.cumprod(t[:, ::-1], axis=1)[:, ::-1]
+        be = jnp.concatenate([b[:, 1:], jnp.ones((m, 1), t.dtype)], axis=1)
+        prod = jnp.clip(fe * be, -0.999999, 0.999999)
         return jnp.where(cn_mask, 2.0 * jnp.arctanh(prod), 0.0)
 
     def check_update_msa(msg_vc):
@@ -485,10 +504,13 @@ def _bp_decode(llr, cn_idx, cn_mask, edge_var, n, max_iter, alg):
         sgn = jnp.where(cn_mask, sgn, 1.0)
         sign_prod = jnp.prod(sgn, axis=1, keepdims=True)
         min1 = jnp.min(mag, axis=1, keepdims=True)
-        i1 = jnp.argmin(mag, axis=1)
-        mag2 = mag.at[jnp.arange(m), i1].set(jnp.inf)
-        min2 = jnp.min(mag2, axis=1, keepdims=True)
-        is_min1 = jnp.arange(dc)[None, :] == i1[:, None]
+        # first-occurrence-of-min mask without argmin (argmin over the padded
+        # axis crashes/hangs the XLA:TPU compiler under vmap on this runtime);
+        # duplicate minima resolve like argmin: first copy excluded, min2 =
+        # the surviving copy
+        at_min = mag == min1
+        is_min1 = at_min & (jnp.cumsum(at_min, axis=1) == 1)
+        min2 = jnp.min(jnp.where(is_min1, jnp.inf, mag), axis=1, keepdims=True)
         out_mag = jnp.where(is_min1, min2, min1)
         out_sgn = sign_prod * sgn  # leave-one-out sign (sgn in {-1, 1})
         return jnp.where(cn_mask, out_sgn * out_mag, 0.0)
@@ -498,10 +520,12 @@ def _bp_decode(llr, cn_idx, cn_mask, edge_var, n, max_iter, alg):
     def iteration(carry, _):
         msg_vc, done, final_llr, n_iters = carry
         msg_cv = check_update(msg_vc)
-        # variable update: total per-variable sum of incoming messages
-        sums = jax.ops.segment_sum(
-            (msg_cv * maskf).reshape(-1), edge_var, num_segments=n
+        # variable update: gather each variable's incident edges (vn_edge
+        # pads with index E -> the appended zero), no scatter needed
+        flat = jnp.concatenate(
+            [msg_cv.reshape(-1), jnp.zeros((1,), msg_cv.dtype)]
         )
+        sums = jnp.sum(flat[vn_edge], axis=1)
         total = llr + sums  # (n,)
         new_vc = total[cn_idx] - msg_cv
         new_vc = jnp.where(cn_mask, new_vc, 0.0)
@@ -525,9 +549,9 @@ def _bp_decode(llr, cn_idx, cn_mask, edge_var, n, max_iter, alg):
 
 
 @partial(jax.jit, static_argnames=("n", "max_iter", "alg"))
-def _bp_decode_batch(llrs, cn_idx, cn_mask, edge_var, n, max_iter, alg):
+def _bp_decode_batch(llrs, cn_idx, cn_mask, vn_edge, n, max_iter, alg):
     return jax.vmap(
-        lambda l: _bp_decode(l, cn_idx, cn_mask, edge_var, n, max_iter, alg),
+        lambda l: _bp_decode(l, cn_idx, cn_mask, vn_edge, n, max_iter, alg),
         in_axes=1,
         out_axes=(1, 0, 0),
     )(llrs)
@@ -552,7 +576,7 @@ def decode_ldpc(llrs, H=None, config: LDPCConfig = LDPCConfig(), graph=None):
         llrs,
         jnp.asarray(graph["cn_idx"]),
         jnp.asarray(graph["cn_mask"]),
-        jnp.asarray(graph["edge_var"]),
+        jnp.asarray(graph["vn_edge"]),
         n,
         int(config.maxIter),
         config.alg,

@@ -727,7 +727,7 @@ def _bp_from_adjacency(llrs, checkNodes, maxIter, alg):
         jax.numpy.asarray(llrs),
         jax.numpy.asarray(graph["cn_idx"]),
         jax.numpy.asarray(graph["cn_mask"]),
-        jax.numpy.asarray(graph["edge_var"]),
+        jax.numpy.asarray(graph["vn_edge"]),
         n, int(maxIter), alg,
     )
     return (np.asarray(out_llr), int(np.max(np.asarray(n_iters))),
