@@ -500,9 +500,6 @@ def _bp_decode(llr, cn_idx, cn_mask, vn_edge, n, max_iter, alg):
 
     def check_update_msa(msg_vc):
         mag = jnp.where(cn_mask, jnp.abs(msg_vc), jnp.inf)
-        sgn = jnp.where(msg_vc >= 0, 1.0, -1.0)
-        sgn = jnp.where(cn_mask, sgn, 1.0)
-        sign_prod = jnp.prod(sgn, axis=1, keepdims=True)
         min1 = jnp.min(mag, axis=1, keepdims=True)
         # first-occurrence-of-min mask without argmin (argmin over the padded
         # axis crashes/hangs the XLA:TPU compiler under vmap on this runtime);
@@ -512,7 +509,14 @@ def _bp_decode(llr, cn_idx, cn_mask, vn_edge, n, max_iter, alg):
         is_min1 = at_min & (jnp.cumsum(at_min, axis=1) == 1)
         min2 = jnp.min(jnp.where(is_min1, jnp.inf, mag), axis=1, keepdims=True)
         out_mag = jnp.where(is_min1, min2, min1)
-        out_sgn = sign_prod * sgn  # leave-one-out sign (sgn in {-1, 1})
+        # leave-one-out sign via parity of the OTHER negative messages — a
+        # float sign-product reduction feeding the min dataflow also
+        # SIGSEGVs the XLA:TPU compiler under vmap; the integer-parity form
+        # is equivalent (sign(0) counts as +1, like the reference) and
+        # compiles fine
+        neg = ((msg_vc < 0) & cn_mask).astype(jnp.int32)
+        others = jnp.sum(neg, axis=1, keepdims=True) - neg
+        out_sgn = (1 - 2 * (others % 2)).astype(msg_vc.dtype)
         return jnp.where(cn_mask, out_sgn * out_mag, 0.0)
 
     check_update = check_update_spa if alg == "SPA" else check_update_msa
