@@ -101,6 +101,25 @@ def edc(sig, config: EDCConfig):
         )
     w = 2 * np.pi * config.Fs * np.fft.fftfreq(n_coeffs)
     H = jnp.asarray(np.exp(-1j * (beta2 / 2) * (w**2) * config.L).astype(np.complex64))
+    if config.Nfft is None and sig.shape[0] + n_coeffs <= 2**22:
+        # one transposed FFT with time on the minor (lane) axis: measured
+        # ~10x faster than blocked overlap-save on v5e at 2^18 samples (an
+        # FFT along a non-minor axis with a 2-wide minor dim pays layout
+        # transposes; block gathers add HBM passes). Falls back to
+        # overlap-save for very long signals (memory) or an explicit Nfft.
+        squeeze = sig.ndim == 1
+        x = sig[:, None] if squeeze else sig
+        n = x.shape[0]
+        d_delay = n_coeffs // 2
+        big = 1 << int(np.ceil(np.log2(n + n_coeffs)))
+        ht = jnp.fft.fftshift(jnp.fft.ifft(H))
+        Hf = jnp.fft.fft(ht, n=big)
+        y = jnp.fft.ifft(
+            jnp.fft.fft(x.astype(jnp.complex64).T, n=big, axis=-1) * Hf,
+            axis=-1,
+        )
+        out = y[:, d_delay : d_delay + n].T
+        return out[:, 0] if squeeze else out
     return overlap_save(sig, H, nfft=nfft, freq_domain_filter=True)
 
 
@@ -521,22 +540,26 @@ def mimo_apply(H, sig, sps=2):
     # equalized symbols, measured on v5e).
     n = sig_pad.shape[0]
     nfft = 1 << int(np.ceil(np.log2(n)))
-    X = jnp.fft.fft(sig_pad, n=nfft, axis=0)  # (nfft, modes_in)
+    # time on the minor (lane) axis throughout — FFTs along a non-minor axis
+    # with a 2-wide minor dim pay layout transposes on TPU (see edc)
+    X = jnp.fft.fft(sig_pad.T, n=nfft, axis=-1)  # (modes_in, nfft)
     Hf = jnp.fft.fft(H[..., ::-1], n=nfft, axis=-1)  # (o, i, nfft)
-    Yf = jnp.einsum("fi,oif->fo", X, Hf,
+    Yf = jnp.einsum("if,oif->of", X, Hf,
                     precision=jax.lax.Precision.HIGHEST)
     if nfft % sps == 0:
         # fold the symbol-rate decimation into the inverse transform: shift
         # the wanted sampling phase (offset n_taps-1) to index 0, alias the
         # spectrum down by sps, and run an nfft/sps-point inverse FFT
         # (~2x less inverse-FFT + post-processing work at sps=2)
-        k = jnp.arange(nfft)[:, None]
+        k = jnp.arange(nfft)[None, :]
         Yf = Yf * jnp.exp(2j * jnp.pi * k * ((n_taps - 1) / nfft))
         m = nfft // sps
-        yd = jnp.fft.ifft(Yf.reshape(sps, m, -1).sum(axis=0) / sps, axis=0)
-        return yd[:n_sym]
-    y_full = jnp.fft.ifft(Yf, axis=0)  # correlation at y_full[t + n_taps - 1]
-    return y_full[n_taps - 1 :][:: sps][:n_sym]
+        yd = jnp.fft.ifft(
+            Yf.reshape(H.shape[0], sps, m).sum(axis=1) / sps, axis=-1
+        )
+        return yd[:, :n_sym].T
+    y_full = jnp.fft.ifft(Yf, axis=-1)  # correlation at y_full[t + n_taps - 1]
+    return y_full[:, n_taps - 1 :][:, ::sps][:, :n_sym].T
 
 
 # ---------------------------------------------------------------------------
