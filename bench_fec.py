@@ -1,0 +1,69 @@
+"""Auxiliary benchmark: LDPC belief-propagation decode throughput (Mbit/s).
+
+Decodes batches of AWGN-corrupted all-zero codewords with the padded
+edge-array BP decoder (comm/fec.py) at 20 iterations — the analog of the
+reference's `test_fec.ipynb` workload, run as one jitted program per
+(code, algorithm).
+
+Prints one JSON line per configuration. Not invoked by the driver (bench.py
+is the headline); run manually: ``python bench_fec.py [--cpu]``.
+
+Measured on TPU v5e (2026-08): n=16200 MSA 41 Mbit/s, SPA 40 Mbit/s at
+B=128 (the 26 ms/dispatch tunnel overhead included; ~84 Mbit/s net).
+"""
+
+import json
+import os
+import sys
+import time
+
+if "--cpu" in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from opticommpy_tpu.comm import fec
+
+BATCH = 128
+MAX_ITER = 20
+
+
+def main():
+    rng = np.random.default_rng(0)
+    for n_code, dv, dc in [(1296, 3, 6), (16200, 3, 6)]:
+        H = fec.gallager_ldpc(n_code, dv, dc, seed=0)
+        g = fec.ldpc_graph(H)
+        llrs = jnp.asarray(
+            (2.0 + rng.normal(scale=1.2, size=(n_code, BATCH))).astype(np.float32)
+        )
+        for alg in ("MSA", "SPA"):
+            @jax.jit
+            def dec(llrs, alg=alg, g=g):
+                out, iters, fail = fec._bp_decode_batch(
+                    llrs, jnp.asarray(g["cn_idx"]), jnp.asarray(g["cn_mask"]),
+                    jnp.asarray(g["vn_edge"]), g["n"], MAX_ITER, alg)
+                return (jnp.mean(out) + jnp.sum(iters).astype(jnp.float32)
+                        + jnp.sum(fail))
+
+            float(dec(llrs))  # compile
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(dec(llrs))
+                ts.append(time.perf_counter() - t0)
+            print(json.dumps({
+                "metric": f"LDPC BP decode ({alg}, n={n_code}, "
+                          f"{MAX_ITER} iters, B={BATCH})",
+                "value": round(n_code * BATCH / min(ts) / 1e6, 2),
+                "unit": "Mbit/s",
+            }))
+
+
+if __name__ == "__main__":
+    main()
