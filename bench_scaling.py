@@ -85,6 +85,7 @@ def main():
         }))
 
     pp_scaling()
+    sp_scaling()
 
 
 def pp_scaling():
@@ -132,6 +133,54 @@ def pp_scaling():
             "metric": "manakovSSF PP weak scaling",
             "devices": n_dev,
             "span_samples_per_s_per_chip": round(rate, 1),
+            "efficiency_vs_1chip": round(rate / base_rate, 3),
+        }))
+
+
+def sp_scaling():
+    """Sequence-parallel weak scaling: ONE signal's time axis grows with chips.
+
+    Each chip owns an equal time chunk of a single polmux signal
+    (manakov_ssf_sp); halos are refreshed over ICI once per span. The fixed
+    per-chip FFT work makes this weak scaling on the sample axis — the
+    framework's long-signal story (SURVEY.md §5).
+    """
+    from jax.sharding import Mesh
+    from opticommpy_tpu.models import SSFMConfig
+    from opticommpy_tpu.parallel import manakov_ssf_sp
+
+    n_dev_total = len(jax.devices())
+    sizes = [d for d in [1, 2, 4, 8] if d <= n_dev_total]
+    rng = np.random.default_rng(2)
+    base_rate = None
+    n_per_chip = 2**16
+    cfg = SSFMConfig(Ltotal=50.0, Lspan=50.0, hz=0.5, alpha=0.2, D=16.0,
+                     gamma=1.3, Fs=32e9 * 4, amp="ideal", nlprMethod=False,
+                     trapIters=1, fusedLinear=True)
+    for n_dev in sizes:
+        mesh = Mesh(np.array(jax.devices()[:n_dev]).reshape(1, -1),
+                    ("data", "time"))
+        n = n_per_chip * n_dev
+        x = (0.01 * (rng.normal(size=(n, 2))
+                     + 1j * rng.normal(size=(n, 2)))).astype(np.complex64)
+
+        def run():
+            out = manakov_ssf_sp(x, cfg, mesh=mesh)
+            return float(jnp.mean(jnp.abs(out) ** 2))
+
+        run()  # compile
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run()
+            ts.append(time.perf_counter() - t0)
+        rate = n / min(ts) / n_dev
+        if base_rate is None:
+            base_rate = rate
+        print(json.dumps({
+            "metric": "manakovSSF SP weak scaling",
+            "devices": n_dev,
+            "samples_per_s_per_chip": round(rate, 1),
             "efficiency_vs_1chip": round(rate / base_rate, 3),
         }))
 

@@ -16,8 +16,10 @@ from opticommpy_tpu.parallel.distributed import (  # noqa: F401
     local_device_count,
 )
 from opticommpy_tpu.parallel.sharded import (  # noqa: F401
+    default_sp_halo,
     manakov_ssf_dp,
     manakov_ssf_pp,
+    manakov_ssf_sp,
     shard_batch,
     sharded_edc,
     sharded_fir,

@@ -29,24 +29,31 @@ __all__ = [
     "sharded_edc",
     "manakov_ssf_dp",
     "manakov_ssf_pp",
+    "manakov_ssf_sp",
     "shard_batch",
 ]
 
 
-def _halo_exchange(x_local, halo_left, halo_right, axis_name):
+def _halo_exchange(x_local, halo_left, halo_right, axis_name, axis=0,
+                   circular=False):
     """Gather halo samples from both neighbors along ``axis_name``.
 
-    Devices at the chain ends receive zeros (ppermute drops edge links), which
-    matches the zero-padded boundary semantics of overlap-save filtering.
+    With ``circular=False`` devices at the chain ends receive zeros (ppermute
+    drops edge links), matching the zero-padded boundary semantics of
+    overlap-save filtering. With ``circular=True`` the chain wraps around,
+    matching the periodic boundary of a full-length FFT.
+    ``axis`` selects the sharded array axis the halos are taken along.
     """
     n_dev = jax.lax.axis_size(axis_name)
+    take = lambda lo, hi: jax.lax.slice_in_dim(x_local, lo, hi, axis=axis)
+    nloc = x_local.shape[axis]
     # send my tail to my right neighbor (their left halo)
-    perm_r = [(i, i + 1) for i in range(n_dev - 1)]
-    left = jax.lax.ppermute(x_local[-halo_left:], axis_name, perm_r)
+    perm_r = [(i, (i + 1) % n_dev) for i in range(n_dev - (not circular))]
+    left = jax.lax.ppermute(take(nloc - halo_left, nloc), axis_name, perm_r)
     # send my head to my left neighbor (their right halo)
-    perm_l = [(i + 1, i) for i in range(n_dev - 1)]
-    right = jax.lax.ppermute(x_local[:halo_right], axis_name, perm_l)
-    return jnp.concatenate([left, x_local, right], axis=0)
+    perm_l = [((i + 1) % n_dev, i) for i in range(n_dev - (not circular))]
+    right = jax.lax.ppermute(take(0, halo_right), axis_name, perm_l)
+    return jnp.concatenate([left, x_local, right], axis=axis)
 
 
 def sharded_fir(x, h, mesh, time_axis="time", mode_axis=None):
@@ -250,6 +257,170 @@ def manakov_ssf_pp(e_in, config, key, mesh, stage_axis="stage",
     out = jnp.zeros((n, 2 * k), dtype=jnp.complex64)
     out = out.at[:, 0::2].set(ex.T)
     out = out.at[:, 1::2].set(ey.T)
+    return out
+
+
+def _next_smooth(n):
+    """Smallest 2/3/5-smooth integer >= n (FFT-friendly length)."""
+    best = 1 << max(0, n - 1).bit_length()  # next power of two qualifies
+    p3 = 1
+    while p3 <= best:
+        p35 = p3
+        while p35 <= best:
+            q = -(-n // p35)  # ceil(n / p35): power-of-two factor needed
+            m = p35 * (1 << max(0, q - 1).bit_length())
+            if n <= m < best:
+                best = m
+            p35 *= 5
+        p3 *= 3
+    return best
+
+
+def default_sp_halo(config, spans_per_sync=1, safety=4.0):
+    """Halo width (samples) for :func:`manakov_ssf_sp`.
+
+    The linear operator of one sync group spreads energy by at most the
+    band-edge group delay ``|beta2| * pi * Fs^2 * Lspan * spans_per_sync``
+    samples (the nonlinear rotation is pointwise and spreads nothing).
+    ``safety``x that, rounded up to a lane-aligned multiple of 128, puts the
+    truncation error of the overlapped-block propagation near float32
+    round-off.
+    """
+    from opticommpy_tpu.models.channels import fiber_coefficients
+
+    _, beta2 = fiber_coefficients(config.alpha, config.D, config.Fc)
+    tau = abs(beta2) * np.pi * config.Fs**2 * config.Lspan * spans_per_sync
+    return int(max(128, 128 * np.ceil(safety * tau / 128)))
+
+
+def manakov_ssf_sp(e_in, config, key=None, mesh=None, time_axis="time",
+                   data_axis=None, halo=None, spans_per_sync=1):
+    """Sequence-parallel Manakov SSFM: ONE signal's time axis sharded.
+
+    The per-step split-step operator is almost local in time — one ``hz`` of
+    chromatic dispersion moves energy by well under a sample at typical
+    parameters — so a chip can propagate its time chunk independently given a
+    halo of neighbor samples wide enough to cover the dispersion spread of a
+    sync group. Each group of ``spans_per_sync`` spans runs entirely on-chip
+    on the halo-padded block (local batched FFTs of length
+    ``N/T + 2*halo``); between groups the halos are refreshed from the
+    neighbors' exact interiors over ICI (``lax.ppermute``, cyclic so the
+    global periodic boundary of the reference's full-length FFT is
+    preserved). This is the time-axis analog of :func:`sharded_fir`'s
+    overlap-save decomposition applied to the propagation itself — the
+    framework's long-signal scaling story for a single WDM channel (SURVEY.md
+    §5), complementing :func:`manakov_ssf_dp` (batch) and
+    :func:`manakov_ssf_pp` (spans).
+
+    Accuracy: the halo must exceed the group's band-edge group delay
+    (:func:`default_sp_halo`; the default is 4x the physical spread). With
+    that default the output matches the unsharded :func:`manakov_ssf` to
+    float32 round-off. Fixed-step configs (``nlprMethod=False``) match the
+    single-chip step schedule exactly; with the adaptive rule each shard
+    derives its step from its local max phase rotation (a per-step global
+    all-reduce would serialize ICI for no accuracy gain — documented delta).
+
+    Parameters
+    ----------
+    e_in : (N, 2*k) interleaved-polarization field; N divisible by the mesh
+        time-axis size (and by it times 2*halo granularity).
+    config : SSFMConfig (``fftBackend='matmul'`` falls back to the XLA FFT
+        when the padded local length does not factor into MXU radices).
+    key : PRNG key for ASE noise; folded per (span, time-shard) so shards
+        draw independent noise (statistics match; streams differ from the
+        single-chip path, as with ``manakov_ssf_pp``).
+    mesh : Mesh with ``time_axis`` (and optionally ``data_axis`` to also
+        shard the signal batch).
+    halo : samples of neighbor context per side (default
+        :func:`default_sp_halo`).
+    spans_per_sync : spans propagated per halo refresh; larger values
+        amortize ICI at the cost of a wider halo.
+
+    Returns
+    -------
+    (N, 2*k) output field.
+    """
+    from opticommpy_tpu.models.channels import (
+        EDFAConfig, _manakov_span, edfa, fiber_coefficients,
+    )
+
+    if config.Fs is None:
+        raise ValueError("Simulation sampling frequency (Fs) not provided.")
+    if mesh is None:
+        raise ValueError("manakov_ssf_sp requires a mesh")
+    n_time = mesh.shape[time_axis]
+    e_in = jnp.asarray(e_in, dtype=jnp.complex64)
+    n = e_in.shape[0]
+    if n % n_time:
+        raise ValueError(f"time length {n} not divisible by {n_time} shards")
+    n_spans = int(np.floor(config.Ltotal / config.Lspan))
+    if n_spans % spans_per_sync:
+        raise ValueError(
+            f"{n_spans} spans not divisible by spans_per_sync={spans_per_sync}"
+        )
+    n_groups = n_spans // spans_per_sync
+    if halo is None:
+        halo = default_sp_halo(config, spans_per_sync)
+    if 2 * halo > n // n_time:
+        raise ValueError(
+            f"halo {halo} too wide for local chunk {n // n_time}"
+        )
+
+    alpha, beta2 = fiber_coefficients(config.alpha, config.D, config.Fc)
+    n_loc = n // n_time
+    # zero-pad the local block to a 2/3/5-smooth FFT length: the pad region
+    # sits beyond the halos, so the contamination front still has to cross a
+    # full halo before reaching the interior (same error bound), and the
+    # per-step local FFT avoids Bluestein-sized prime factors
+    n_pad = _next_smooth(n_loc + 2 * halo)
+    w = 2 * jnp.pi * config.Fs * jnp.fft.fftfreq(n_pad)
+    lin_arg = (-(alpha / 2) + 1j * (beta2 / 2) * w**2).astype(jnp.complex64)
+    amp_cfg = EDFAConfig(G=config.alpha * config.Lspan, NF=config.NF,
+                         Fc=config.Fc, Fs=config.Fs)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def local(e_loc):  # (2, B_loc, N_loc)
+        shard = jax.lax.axis_index(time_axis)
+
+        def sync_group(e_loc, group_idx):
+            e_pad = _halo_exchange(e_loc, halo, halo, time_axis, axis=-1,
+                                   circular=True)
+            extra = n_pad - e_pad.shape[-1]
+            if extra:
+                e_pad = jnp.pad(e_pad, [(0, 0)] * (e_pad.ndim - 1) + [(0, extra)])
+
+            def span(e_pad, local_idx):
+                e_pad = _manakov_span(e_pad, lin_arg, config.Lspan, config)
+                if config.amp == "edfa":
+                    span_key = jax.random.fold_in(
+                        jax.random.fold_in(
+                            key, group_idx * spans_per_sync + local_idx),
+                        shard,
+                    )
+                    e_pad = edfa(e_pad, amp_cfg, span_key)
+                elif config.amp == "ideal":
+                    e_pad = e_pad * float(np.exp(alpha / 2 * config.Lspan))
+                return e_pad, None
+
+            e_pad, _ = jax.lax.scan(span, e_pad, jnp.arange(spans_per_sync))
+            return e_pad[..., halo:halo + e_loc.shape[-1]], None
+
+        e_loc, _ = jax.lax.scan(sync_group, e_loc, jnp.arange(n_groups))
+        return e_loc
+
+    # (2, B, N): pol leading, batch, time on lanes (sharded)
+    ex = e_in[:, 0::2].T
+    ey = e_in[:, 1::2].T
+    e = jnp.stack([ex, ey])
+    spec = P(None, data_axis, time_axis)
+    fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=spec,
+                               out_specs=spec))
+    e = fn(e)
+    k = e.shape[1]
+    out = jnp.zeros((n, 2 * k), dtype=jnp.complex64)
+    out = out.at[:, 0::2].set(e[0].T)
+    out = out.at[:, 1::2].set(e[1].T)
     return out
 
 

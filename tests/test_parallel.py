@@ -145,3 +145,92 @@ def test_manakov_dp_matches_single_device(mesh8):
     out_single = manakov_ssf(sig, cfg, key)
     out_dp = manakov_ssf_dp(sig, cfg, key, mesh8)
     assert np.allclose(np.asarray(out_dp), np.asarray(out_single), rtol=1e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel SSFM (time axis of one signal sharded over chips)
+# ---------------------------------------------------------------------------
+
+
+def _sp_workload(n=2**13, k_signals=2, band=0.35, seed=11):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, 2 * k_signals)) + 1j * rng.normal(
+        size=(n, 2 * k_signals))
+    X = np.fft.fft(x, axis=0)
+    X[np.abs(np.fft.fftfreq(n)) > band] = 0
+    return jnp.asarray((0.01 * np.fft.ifft(X, axis=0)).astype(np.complex64))
+
+
+def test_manakov_sp_matches_single_device(mesh_time4):
+    from opticommpy_tpu.parallel import manakov_ssf_sp
+
+    fs = 32e9 * 4
+    sig = _sp_workload()
+    cfg = SSFMConfig(Ltotal=100.0, Lspan=50.0, hz=1.0, alpha=0.2, D=16.0,
+                     gamma=1.3, Fs=fs, amp="ideal", nlprMethod=False,
+                     trapIters=1)
+    ref = np.asarray(manakov_ssf(sig, cfg))
+    out = np.asarray(manakov_ssf_sp(sig, cfg, mesh=mesh_time4))
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert err < 5e-4  # default halo: ~-78 dB measured
+
+
+def test_manakov_sp_spans_per_sync(mesh_time4):
+    from opticommpy_tpu.parallel import manakov_ssf_sp
+
+    fs = 32e9 * 4
+    sig = _sp_workload(seed=12)
+    cfg = SSFMConfig(Ltotal=100.0, Lspan=50.0, hz=1.0, alpha=0.2, D=16.0,
+                     gamma=1.3, Fs=fs, amp="ideal", nlprMethod=False,
+                     trapIters=1)
+    ref = np.asarray(manakov_ssf(sig, cfg))
+    out = np.asarray(manakov_ssf_sp(sig, cfg, mesh=mesh_time4,
+                                    spans_per_sync=2))
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert err < 5e-4
+
+
+def test_manakov_sp_2d_mesh_with_data_axis(mesh8):
+    """Batch sharded on 'data' AND time sharded on 'time' in one mesh."""
+    from opticommpy_tpu.parallel import manakov_ssf_sp
+
+    fs = 32e9 * 4
+    sig = _sp_workload(n=2**12, k_signals=4, seed=13)
+    cfg = SSFMConfig(Ltotal=100.0, Lspan=50.0, hz=2.0, alpha=0.2, D=16.0,
+                     gamma=1.3, Fs=fs, amp="ideal", nlprMethod=False,
+                     trapIters=1)
+    ref = np.asarray(manakov_ssf(sig, cfg))
+    out = np.asarray(manakov_ssf_sp(sig, cfg, mesh=mesh8, data_axis="data"))
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert err < 5e-4
+
+
+def test_manakov_sp_halo_shrinks_error(mesh_time4):
+    from opticommpy_tpu.parallel import manakov_ssf_sp
+
+    fs = 32e9 * 4
+    sig = _sp_workload(seed=14)
+    cfg = SSFMConfig(Ltotal=50.0, Lspan=50.0, hz=1.0, alpha=0.2, D=16.0,
+                     gamma=1.3, Fs=fs, amp="ideal", nlprMethod=False,
+                     trapIters=1)
+    ref = np.asarray(manakov_ssf(sig, cfg))
+
+    def err(halo):
+        out = np.asarray(manakov_ssf_sp(sig, cfg, mesh=mesh_time4, halo=halo))
+        return np.linalg.norm(out - ref) / np.linalg.norm(ref)
+
+    assert err(512) < err(128) < 5e-3
+
+
+def test_manakov_sp_edfa_runs(mesh_time4):
+    from opticommpy_tpu.parallel import manakov_ssf_sp
+
+    fs = 32e9 * 4
+    sig = _sp_workload(seed=15)
+    cfg = SSFMConfig(Ltotal=100.0, Lspan=50.0, hz=1.0, alpha=0.2, D=16.0,
+                     gamma=1.3, Fs=fs, amp="edfa", nlprMethod=False,
+                     trapIters=1)
+    out = manakov_ssf_sp(sig, cfg, key=jax.random.PRNGKey(7), mesh=mesh_time4)
+    p_in = float(jnp.mean(jnp.abs(sig) ** 2))
+    p_out = float(jnp.mean(jnp.abs(out) ** 2))
+    assert 0.8 * p_in < p_out < 1.6 * p_in
