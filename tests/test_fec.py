@@ -240,3 +240,19 @@ def test_plot_binary_matrix():
     ax = plot_binary_matrix(H)
     assert ax is not None
     plt.close("all")
+
+
+def test_ldpc_graph_from_edges_matches_dense():
+    """Sparse-support graph builder == dense builder (same edge layout)."""
+    import numpy as np
+    from opticommpy_tpu.comm.fec import ldpc_graph, ldpc_graph_from_edges
+
+    H = gallager_ldpc(96, 3, 6, seed=9)
+    rows, cols = np.nonzero(H)
+    # shuffle edge order: the builder must sort row-major itself
+    perm = np.random.default_rng(0).permutation(rows.size)
+    g1 = ldpc_graph(H)
+    g2 = ldpc_graph_from_edges(H.shape[1], H.shape[0], rows[perm], cols[perm])
+    for k in ("cn_idx", "cn_mask", "edge_var", "vn_edge"):
+        np.testing.assert_array_equal(g1[k], g2[k])
+    assert g1["dc_max"] == g2["dc_max"]
