@@ -59,8 +59,19 @@ __all__ = [
 
 
 def gauss_elim_gf2(M):
-    """Row echelon form over GF(2) (reference fec.py:102), vectorized numpy."""
+    """Row echelon form over GF(2) (reference fec.py:102), vectorized numpy.
+
+    Large matrices take the bit-packed native path
+    (`opticommpy_tpu/native/gf2.cpp`, ~30x at AR4JA 20480b) — same pivot
+    policy, bit-identical output.
+    """
     M = np.array(M, dtype=np.uint8) % 2
+    if M.size >= 1 << 16:
+        from opticommpy_tpu import native
+
+        out = native.gf2_rref(M)
+        if out is not None:
+            return out
     rows, cols = M.shape
     lead = 0
     for r in range(rows):

@@ -44,21 +44,27 @@ def _cache_dir() -> str:
     return d
 
 
+_SOURCES = ("alist.cpp", "gf2.cpp")
+
+
 def _build_lib() -> str | None:
-    """Compile alist.cpp into a cached shared library; return its path."""
-    src = os.path.join(_SRC_DIR, "alist.cpp")
+    """Compile the native sources into a cached shared library."""
+    srcs = [os.path.join(_SRC_DIR, s) for s in _SOURCES]
     try:
-        with open(src, "rb") as f:
-            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        h = hashlib.sha256()
+        for s in srcs:
+            with open(s, "rb") as f:
+                h.update(f.read())
+        digest = h.hexdigest()[:16]
     except OSError:
         return None
-    out = os.path.join(_cache_dir(), f"libalist-{digest}.so")
+    out = os.path.join(_cache_dir(), f"libnative-{digest}.so")
     if os.path.exists(out):
         return out
     # build into a temp file then rename: atomic under concurrent imports
     fd, tmp = tempfile.mkstemp(suffix=".so", dir=_cache_dir())
     os.close(fd)
-    cmd = ["g++", "-O2", "-shared", "-fPIC", src, "-o", tmp]
+    cmd = ["g++", "-O2", "-shared", "-fPIC", *srcs, "-o", tmp]
     try:
         subprocess.run(
             cmd, check=True, capture_output=True, timeout=120
@@ -89,7 +95,11 @@ def _get_lib():
         lib.alist_parse.restype = ctypes.POINTER(_AlistData)
         lib.alist_free.argtypes = [ctypes.POINTER(_AlistData)]
         lib.alist_free.restype = None
-    except OSError:
+        lib.gf2_rref.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_long, ctypes.c_long,
+        ]
+        lib.gf2_rref.restype = ctypes.c_long
+    except (OSError, AttributeError):
         return None
     _LIB = lib
     return _LIB
@@ -122,3 +132,36 @@ def alist_edges(path):
         return int(d.n), int(d.m), rows.astype(np.int32), cols.astype(np.int32)
     finally:
         lib.alist_free(ptr)
+
+
+def gf2_rref(M):
+    """Reduced row echelon form over GF(2), bit-packed native path.
+
+    ``M`` is a (m, n) 0/1 array. Returns the uint8 rref (same pivot policy
+    and therefore bit-identical output to the NumPy implementation in
+    ``comm.fec.gauss_elim_gf2``), or ``None`` when the native library is
+    unavailable.
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    M = np.ascontiguousarray(np.asarray(M, dtype=np.uint8) % 2)
+    m, n = M.shape
+    if m == 0 or n == 0:
+        return M
+    packed = np.packbits(M, axis=1, bitorder="little")
+    n_words = -(-n // 64)
+    if packed.shape[1] != n_words * 8:
+        packed = np.concatenate(
+            [packed,
+             np.zeros((m, n_words * 8 - packed.shape[1]), dtype=np.uint8)],
+            axis=1,
+        )
+    words = np.ascontiguousarray(packed).view(np.uint64)
+    lib.gf2_rref(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_long(m),
+        ctypes.c_long(n),
+    )
+    return np.unpackbits(words.view(np.uint8), axis=1, count=n,
+                         bitorder="little")

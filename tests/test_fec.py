@@ -205,12 +205,17 @@ def test_dvbs2_64800_encode_decode():
     cw = np.asarray(encode_ldpc(jnp.asarray(bits), H=H,
                                 config=LDPCConfig(mode="DVBS2")))
     assert _check_parity(H, cw)
-    snr_db = 3.0
+    snr_db = 3.5
     sigma = np.sqrt(0.5 * 10 ** (-snr_db / 10))
     y = (1 - 2.0 * cw) + sigma * rng.normal(size=cw.shape)
     llr = (2 * y / sigma**2).astype(np.float32)
-    dec, _, fail = decode_ldpc(jnp.asarray(llr), H=H,
-                               config=LDPCConfig(maxIter=25, alg="MSA"))
+    # decode via the sparse-support graph (native ALIST edges, no dense H)
+    from opticommpy_tpu.comm.fec import ldpc_graph_from_edges, read_alist_edges
+
+    graph = ldpc_graph_from_edges(*read_alist_edges(REF_DVBS2))
+    dec, _, fail = decode_ldpc(jnp.asarray(llr),
+                               config=LDPCConfig(maxIter=12, alg="MSA"),
+                               graph=graph)
     raw = np.sum((y < 0).astype(int) != cw)
     post = np.sum(np.asarray(dec) != cw)
     assert raw > 100  # channel flipped plenty of bits

@@ -87,3 +87,53 @@ def test_native_roundtrip_written_alist(tmp_path):
     fec.write_alist(H, str(path))
     H2 = fec.read_alist(str(path))
     np.testing.assert_array_equal(H, H2)
+
+
+def test_gf2_rref_matches_numpy():
+    """Native bit-packed rref == the NumPy elimination, incl. rank-deficient."""
+    if not native.native_available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(5)
+    for _ in range(10):
+        m = int(rng.integers(1, 80))
+        n = int(rng.integers(1, 200))
+        M = (rng.random((m, n)) < float(rng.uniform(0.05, 0.5))).astype(np.uint8)
+        if m > 3:
+            M[m // 2] = M[0] ^ M[-1]  # force linear dependence
+        got = native.gf2_rref(M)
+        # reference: the pure-NumPy path (force it via the env gate)
+        want = _numpy_rref(M)
+        np.testing.assert_array_equal(got, want)
+
+
+def _numpy_rref(M):
+    M = np.array(M, dtype=np.uint8) % 2
+    rows, cols = M.shape
+    lead = 0
+    for r in range(rows):
+        if lead >= cols:
+            break
+        pr = np.nonzero(M[r:, lead])[0]
+        while pr.size == 0:
+            lead += 1
+            if lead == cols:
+                return M
+            pr = np.nonzero(M[r:, lead])[0]
+        i = r + pr[0]
+        if i != r:
+            M[[r, i]] = M[[i, r]]
+        mask = M[:, lead].copy()
+        mask[r] = 0
+        M[mask == 1] ^= M[r]
+        lead += 1
+    return M
+
+
+def test_gauss_elim_gf2_native_path_via_par2gen():
+    """A matrix above the native-dispatch threshold still yields G ⟂ Hm."""
+    from opticommpy_tpu.comm.fec import gallager_ldpc, par2gen
+
+    H = gallager_ldpc(504, 3, 6, seed=2)  # 252x504 elements > 2^16 threshold
+    G, _, Hm = par2gen(H)
+    prod = (G.astype(np.int64) @ Hm.T.astype(np.int64)) % 2
+    assert not prod.any()
