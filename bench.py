@@ -112,14 +112,16 @@ def run_dsp_chain(batch=8):
     The converged/serving path of the flagship receiver, amortized over a
     batch of `batch` polmux signals vmapped through one program (a WDM
     receiver serves many channels per dispatch; bench_dsp.py has the
-    per-stage breakdown and single-signal/adaptive variants).
+    per-stage breakdown and single-signal/adaptive variants). Uses the
+    fused front end (mimo_apply_fused: MF+EDC+pnorm+MIMO as one decimating
+    frequency-domain filter — ~10% over the staged composition).
     """
     import jax
     import jax.numpy as jnp
 
     import bench_dsp
 
-    _, frozen, _, sig, h0 = bench_dsp.build_chain()
+    _, _, _, frozen, sig, h0 = bench_dsp.build_chain()
     sig_b = jnp.broadcast_to(sig, (batch,) + sig.shape)
     h_b = jnp.broadcast_to(h0, (batch,) + h0.shape)
 

@@ -84,6 +84,21 @@ def build_chain():
         out = y * jnp.exp(1j * est)
         return jnp.mean((out * jnp.conj(out)).real)
 
+    def fused_chain(sig_ri, h_ri):
+        from opticommpy_tpu.dsp.equalization import mimo_apply_fused
+        from opticommpy_tpu.kernels.bps_pallas import bps_pallas
+
+        sig = (sig_ri[..., 0] + 1j * sig_ri[..., 1]).astype(jnp.complex64)
+        H = (h_ri[..., 0] + 1j * h_ri[..., 1]).astype(jnp.complex64)
+        # MF + EDC + pnorm + MIMO apply collapsed into ONE decimating
+        # frequency-domain MIMO filter (all stages LTI + one scalar)
+        y = mimo_apply_fused(H, sig, SPS, pre=jnp.asarray(pulse),
+                             edc_config=edc_cfg)
+        est = bps_pallas(y, 32, const, 64,
+                         interpret=jax.default_backend() == "cpu")
+        out = y * jnp.exp(1j * est)
+        return jnp.mean((out * jnp.conj(out)).real)
+
     def pallas_chain(sig_ri, h_ri):
         from opticommpy_tpu.kernels.bps_pallas import bps_pallas
         from opticommpy_tpu.kernels.mimo_pallas import mimo_eq_pallas
@@ -109,7 +124,7 @@ def build_chain():
     h0 = np.zeros((2, 2, n_taps, 2), dtype=np.float32)
     h0[0, 0, n_taps // 2, 0] = 1.0
     h0[1, 1, n_taps // 2, 0] = 1.0
-    return (adaptive_chain, frozen_chain, pallas_chain,
+    return (adaptive_chain, frozen_chain, pallas_chain, fused_chain,
             jnp.asarray(sig_ri), jnp.asarray(h0))
 
 
@@ -125,15 +140,17 @@ def time_fn(fn, *args, reps=3):
 
 
 def main():
-    adaptive, frozen, pallas, sig, h0 = build_chain()
+    adaptive, frozen, pallas, fused, sig, h0 = build_chain()
     t_ad = time_fn(adaptive, sig, h0)
     t_fr = time_fn(frozen, sig, h0)
     t_pl = time_fn(pallas, sig, h0)
+    t_fu = time_fn(fused, sig, h0)
     print(json.dumps({
         "metric": "coherent DSP chain (MF+EDC+2x2 MIMO+BPS), 16QAM polmux",
         "adaptive_Msym_per_s": round(N_SYM / t_ad / 1e6, 3),
         "adaptive_pallas_Msym_per_s": round(N_SYM / t_pl / 1e6, 3),
         "frozen_tap_Msym_per_s": round(N_SYM / t_fr / 1e6, 3),
+        "fused_frozen_Msym_per_s": round(N_SYM / t_fu / 1e6, 3),
         "n_symbols": N_SYM,
     }))
 

@@ -29,6 +29,7 @@ from opticommpy_tpu.dsp.equalization import (  # noqa: F401
     manakov_dbp,
     mimo_adapt_equalizer,
     mimo_apply,
+    mimo_apply_fused,
     volterra,
 )
 from opticommpy_tpu.dsp.synchronization import (  # noqa: F401

@@ -38,6 +38,7 @@ __all__ = [
     "EDCConfig",
     "mimo_adapt_equalizer",
     "mimo_apply",
+    "mimo_apply_fused",
     "MIMOEqualizerConfig",
     "manakov_dbp",
     "dfe",
@@ -559,6 +560,101 @@ def mimo_apply(H, sig, sps=2):
         )
         return yd[:, :n_sym].T
     y_full = jnp.fft.ifft(Yf, axis=-1)  # correlation at y_full[t + n_taps - 1]
+    return y_full[:, n_taps - 1 :][:, ::sps][:, :n_sym].T
+
+
+def mimo_apply_fused(H, sig, sps=2, pre=None, edc_config=None, scale=None):
+    """Converged receiver front end in ONE pass: pre-filter + EDC + MIMO.
+
+    The serving path's matched filter, chromatic-dispersion compensation,
+    power normalization, and frozen MIMO taps are a cascade of LTI stages
+    plus one scalar — so the whole front end collapses into a single
+    decimating MIMO frequency-domain filter. This computes
+
+    ``mimo_apply(H, pnorm(edc(fir_filter(pre, sig), edc_config)), sps)``
+
+    with one forward FFT per input mode and one folded inverse FFT per
+    output mode, instead of three separate filtering passes plus a
+    normalization pass over the signal (the staged composition the reference
+    runs, equalization.py:36,125 after core.py:87).
+
+    Parameters
+    ----------
+    H : (modes_out, modes_in, nTaps) frozen tap tensor.
+    sig : (N, modes_in) signal at ``sps`` samples/symbol (pre matched
+        filter / CD compensation).
+    pre : optional (K,) pre-filter taps (e.g. the matched RRC), applied
+        'same'/delay-compensated like :func:`~opticommpy_tpu.ops.fir_filter`.
+    edc_config : optional EDCConfig for CD compensation (same filter design
+        as :func:`edc`).
+    scale : power-normalization divisor. ``None`` derives it from the
+        combined spectrum by Parseval — that includes the convolution tails
+        outside the staged pnorm's window, an O(K/N) relative difference;
+        pass the training-time scalar for exact parity with the staged path.
+
+    Returns
+    -------
+    (nSym, modes_out) equalized symbols.
+    """
+    sig = jnp.asarray(sig).astype(jnp.complex64)
+    if sig.ndim == 1:
+        sig = sig[:, None]
+    n = sig.shape[0]
+    n_taps = H.shape[-1]
+    l_pad = n_taps // 2
+    n_pad = n + 2 * l_pad + sps + n_taps  # = mimo_apply's padded length
+    n_sym = int(np.fix((n + 2 * l_pad - n_taps) / sps + 1))
+
+    # combined pre-filter response assembly (small-tap FFTs, device-side)
+    k_extra = 0
+    pre_parts = []
+    if pre is not None:
+        pre = jnp.asarray(pre)
+        k_pre = pre.shape[0]
+        pre_parts.append((pre.astype(jnp.complex64), (k_pre - 1) // 2))
+        k_extra += k_pre - 1
+    if edc_config is not None:
+        if edc_config.Fs is None:
+            raise ValueError("Simulation sampling frequency (Fs) not provided.")
+        _, beta2 = fiber_coefficients(0.0, edc_config.D, edc_config.Fc)
+        n_coeffs = edc_config.NfilterCoeffs
+        if n_coeffs is None:
+            n_coeffs = int(2 * np.ceil(
+                6.67 * np.abs(beta2) * edc_config.L * edc_config.Rs**2
+                * (edc_config.Fs / edc_config.Rs)))
+        w = 2 * np.pi * edc_config.Fs * np.fft.fftfreq(n_coeffs)
+        Hcd = np.exp(-1j * (beta2 / 2) * (w**2) * edc_config.L)
+        ht = np.fft.fftshift(np.fft.ifft(Hcd)).astype(np.complex64)
+        pre_parts.append((jnp.asarray(ht), n_coeffs // 2))
+        k_extra += n_coeffs - 1
+
+    nfft = 1 << int(np.ceil(np.log2(n_pad + k_extra)))
+    k = jnp.arange(nfft)
+    # front zero-padding of the MIMO stage = pure delay by l_pad
+    P = jnp.exp(-2j * jnp.pi * k * (l_pad / nfft)).astype(jnp.complex64)
+    for taps, delay in pre_parts:
+        # 'same' delay-compensated filter = response advanced by its center
+        P = P * jnp.fft.fft(taps, n=nfft) * jnp.exp(
+            2j * jnp.pi * k * (delay / nfft))
+
+    X = jnp.fft.fft(sig.T, n=nfft, axis=-1) * P[None, :]  # (modes_in, nfft)
+    if scale is None:
+        # Parseval: pnorm's mean power over the filtered signal (tails incl.)
+        scale = jnp.sqrt(
+            jnp.sum((X * jnp.conj(X)).real)
+            / np.float32(float(nfft) * n * sig.shape[1]))
+    X = X / scale
+
+    Hf = jnp.fft.fft(H[..., ::-1].astype(jnp.complex64), n=nfft, axis=-1)
+    Yf = jnp.einsum("if,oif->of", X, Hf,
+                    precision=jax.lax.Precision.HIGHEST)
+    if nfft % sps == 0:
+        Yf = Yf * jnp.exp(2j * jnp.pi * k[None, :] * ((n_taps - 1) / nfft))
+        m = nfft // sps
+        yd = jnp.fft.ifft(
+            Yf.reshape(H.shape[0], sps, m).sum(axis=1) / sps, axis=-1)
+        return yd[:, :n_sym].T
+    y_full = jnp.fft.ifft(Yf, axis=-1)
     return y_full[:, n_taps - 1 :][:, ::sps][:, :n_sym].T
 
 

@@ -201,3 +201,62 @@ def test_mimo_block_update_cma():
     y = mimo_adapt_equalizer(mixed, cfg, symb_ref=symb)
     tail = np.asarray(y)[-3000:]
     assert np.mean(np.abs(np.abs(tail) - 1.0) ** 2) < 0.03
+
+
+def test_mimo_apply_fused_matches_staged_chain():
+    """Fused MF+EDC+pnorm+MIMO == the staged composition (interior symbols)."""
+    import numpy as np
+    from opticommpy_tpu.dsp.equalization import (
+        EDCConfig, edc, mimo_apply, mimo_apply_fused,
+    )
+    from opticommpy_tpu.ops.filtering import fir_filter, pulse_shape
+    from opticommpy_tpu.ops.signal import pnorm
+
+    rng = np.random.default_rng(0)
+    sps, rs = 2, 32e9
+    n = 2**13
+    sig = (0.2 * (rng.normal(size=(n, 2)) + 1j * rng.normal(size=(n, 2)))
+           ).astype(np.complex64)
+    pulse = pulse_shape("rrc", sps, 128, 0.1).astype(np.float32)
+    cfg = EDCConfig(L=100, D=16, Fs=rs * sps, Rs=rs)
+    H = (0.1 * (rng.normal(size=(2, 2, 15)) + 1j * rng.normal(size=(2, 2, 15)))
+         ).astype(np.complex64)
+    H[0, 0, 7] += 1
+    H[1, 1, 7] += 1
+
+    x = fir_filter(jnp.asarray(pulse), jnp.asarray(sig))
+    x = edc(x, cfg)
+    s = float(jnp.sqrt(jnp.mean((x * jnp.conj(x)).real)))
+    y_staged = np.asarray(mimo_apply(jnp.asarray(H), pnorm(x), sps))
+
+    y_exact = np.asarray(mimo_apply_fused(
+        jnp.asarray(H), jnp.asarray(sig), sps, pre=pulse, edc_config=cfg,
+        scale=s))
+    y_parseval = np.asarray(mimo_apply_fused(
+        jnp.asarray(H), jnp.asarray(sig), sps, pre=pulse, edc_config=cfg))
+
+    # edge symbols (within the front tap window / conv tail) carry the
+    # documented zero-padding semantic difference; the interior matches
+    lo, hi = 16, y_staged.shape[0] - (pulse.shape[0] + 300) // sps
+    err = (np.linalg.norm(y_exact[lo:hi] - y_staged[lo:hi])
+           / np.linalg.norm(y_staged[lo:hi]))
+    assert err < 3e-4, err  # c64 long-FFT reordering noise
+    # Parseval scale differs by O(K/N) from the staged pnorm window
+    errp = (np.linalg.norm(y_parseval[lo:hi] - y_staged[lo:hi])
+            / np.linalg.norm(y_staged[lo:hi]))
+    assert errp < 1e-2, errp
+
+
+def test_mimo_apply_fused_no_prefilter_equals_mimo_apply():
+    import numpy as np
+    from opticommpy_tpu.dsp.equalization import mimo_apply, mimo_apply_fused
+
+    rng = np.random.default_rng(1)
+    sig = (rng.normal(size=(2**11, 2)) + 1j * rng.normal(size=(2**11, 2))
+           ).astype(np.complex64)
+    H = (0.2 * (rng.normal(size=(2, 2, 15)) + 1j * rng.normal(size=(2, 2, 15)))
+         ).astype(np.complex64)
+    y = np.asarray(mimo_apply(jnp.asarray(H), jnp.asarray(sig), 2))
+    f = np.asarray(mimo_apply_fused(jnp.asarray(H), jnp.asarray(sig), 2,
+                                    scale=1.0))
+    assert np.linalg.norm(f - y) / np.linalg.norm(y) < 1e-5
