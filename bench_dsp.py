@@ -92,7 +92,7 @@ def build_chain():
         H = (h_ri[..., 0] + 1j * h_ri[..., 1]).astype(jnp.complex64)
         # MF + EDC + pnorm + MIMO apply collapsed into ONE decimating
         # frequency-domain MIMO filter (all stages LTI + one scalar)
-        y = mimo_apply_fused(H, sig, SPS, pre=jnp.asarray(pulse),
+        y = mimo_apply_fused(H, sig, SPS, pre=pulse,
                              edc_config=edc_cfg)
         est = bps_pallas(y, 32, const, 64,
                          interpret=jax.default_backend() == "cpu")
@@ -110,7 +110,7 @@ def build_chain():
         def front(sr, hr):
             sig = (sr[..., 0] + 1j * sr[..., 1]).astype(jnp.complex64)
             Hm = (hr[..., 0] + 1j * hr[..., 1]).astype(jnp.complex64)
-            return mimo_apply_fused(Hm, sig, SPS, pre=jnp.asarray(pulse),
+            return mimo_apply_fused(Hm, sig, SPS, pre=pulse,
                                     edc_config=edc_cfg)
 
         y = jax.vmap(front)(sig_b_ri, h_b_ri)  # (B, nSym, 2)

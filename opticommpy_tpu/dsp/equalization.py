@@ -605,13 +605,15 @@ def mimo_apply_fused(H, sig, sps=2, pre=None, edc_config=None, scale=None):
     n_pad = n + 2 * l_pad + sps + n_taps  # = mimo_apply's padded length
     n_sym = int(np.fix((n + 2 * l_pad - n_taps) / sps + 1))
 
-    # combined pre-filter response assembly (small-tap FFTs, device-side)
+    # combined pre-filter response assembly. Taps are usually concrete
+    # (host-designed filters) — then the whole response P is precomputed in
+    # NumPy and enters the program as a constant, instead of full-nfft tap
+    # FFTs re-traced (and re-run per vmap lane) on device.
     k_extra = 0
     pre_parts = []
     if pre is not None:
-        pre = jnp.asarray(pre)
         k_pre = pre.shape[0]
-        pre_parts.append((pre.astype(jnp.complex64), (k_pre - 1) // 2))
+        pre_parts.append((pre, (k_pre - 1) // 2))
         k_extra += k_pre - 1
     if edc_config is not None:
         if edc_config.Fs is None:
@@ -625,17 +627,27 @@ def mimo_apply_fused(H, sig, sps=2, pre=None, edc_config=None, scale=None):
         w = 2 * np.pi * edc_config.Fs * np.fft.fftfreq(n_coeffs)
         Hcd = np.exp(-1j * (beta2 / 2) * (w**2) * edc_config.L)
         ht = np.fft.fftshift(np.fft.ifft(Hcd)).astype(np.complex64)
-        pre_parts.append((jnp.asarray(ht), n_coeffs // 2))
+        pre_parts.append((ht, n_coeffs // 2))
         k_extra += n_coeffs - 1
 
     nfft = 1 << int(np.ceil(np.log2(n_pad + k_extra)))
     k = jnp.arange(nfft)
-    # front zero-padding of the MIMO stage = pure delay by l_pad
-    P = jnp.exp(-2j * jnp.pi * k * (l_pad / nfft)).astype(jnp.complex64)
-    for taps, delay in pre_parts:
-        # 'same' delay-compensated filter = response advanced by its center
-        P = P * jnp.fft.fft(taps, n=nfft) * jnp.exp(
-            2j * jnp.pi * k * (delay / nfft))
+    all_host = all(not isinstance(t, jax.Array) for t, _ in pre_parts)
+    if all_host:
+        kh = np.arange(nfft)
+        # front zero-padding of the MIMO stage = pure delay by l_pad
+        Pn = np.exp(-2j * np.pi * kh * (l_pad / nfft))
+        for taps, delay in pre_parts:
+            # 'same' delay-compensated filter: response advanced by center
+            Pn = Pn * np.fft.fft(np.asarray(taps), n=nfft) * np.exp(
+                2j * np.pi * kh * (delay / nfft))
+        P = jnp.asarray(Pn.astype(np.complex64))
+    else:
+        P = jnp.exp(-2j * jnp.pi * k * (l_pad / nfft)).astype(jnp.complex64)
+        for taps, delay in pre_parts:
+            P = P * jnp.fft.fft(jnp.asarray(taps).astype(jnp.complex64),
+                                n=nfft) * jnp.exp(
+                2j * jnp.pi * k * (delay / nfft))
 
     X = jnp.fft.fft(sig.T, n=nfft, axis=-1) * P[None, :]  # (modes_in, nfft)
     if scale is None:

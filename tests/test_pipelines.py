@@ -85,3 +85,65 @@ def test_coherent_pipeline_pallas_backend():
     disc = 7000
     ber, _, _ = fast_ber_calc(y[disc:-100], d_ref[disc:-100], 16, "qam")
     assert float(jnp.max(ber)) < 1e-2, np.asarray(ber)
+
+
+def test_coherent_dsp_serve_matches_staged_components():
+    """Serving path == staged mimo_apply+bps composition per signal."""
+    import numpy as np
+    from opticommpy_tpu.comm.modulation import gray_mapping
+    from opticommpy_tpu.dsp.carrier_recovery import bps
+    from opticommpy_tpu.dsp.equalization import EDCConfig, edc, mimo_apply
+    from opticommpy_tpu.ops.filtering import fir_filter, pulse_shape
+    from opticommpy_tpu.ops.signal import pnorm
+    from opticommpy_tpu.pipelines import CoherentDSPConfig, coherent_dsp_serve
+
+    rng = np.random.default_rng(3)
+    cfg = CoherentDSPConfig(nFilterTaps=128, L=50, cpr_window=33,
+                            cpr_phases=32)
+    n = 2**12
+    b = 3
+    sig_b = (0.3 * (rng.normal(size=(b, n, 2)) + 1j * rng.normal(size=(b, n, 2)))
+             ).astype(np.complex64)
+    H_b = (0.1 * (rng.normal(size=(b, 2, 2, 15))
+                  + 1j * rng.normal(size=(b, 2, 2, 15)))).astype(np.complex64)
+    H_b[:, 0, 0, 7] += 1
+    H_b[:, 1, 1, 7] += 1
+
+    out, phases = coherent_dsp_serve(jnp.asarray(sig_b), jnp.asarray(H_b), cfg)
+    assert out.shape[0] == b and out.shape[2] == 2
+
+    # staged reference for signal 0
+    fs = cfg.Rs * cfg.SpS_dsp
+    pulse = pulse_shape(cfg.pulseType, cfg.SpS_dsp, cfg.nFilterTaps,
+                        cfg.rollOff).astype(np.float32)
+    x = fir_filter(jnp.asarray(pulse), jnp.asarray(sig_b[0]))
+    x = edc(x, EDCConfig(L=cfg.L, D=cfg.D, Fc=cfg.Fc, Fs=fs, Rs=cfg.Rs))
+    y0 = mimo_apply(jnp.asarray(H_b[0]), pnorm(x), cfg.SpS_dsp)
+    const = gray_mapping(cfg.M, "qam")
+    const = (const / np.sqrt(np.mean(np.abs(const) ** 2))).astype(np.complex64)
+    ph0 = bps(y0, cfg.cpr_window // 2, jnp.asarray(const), cfg.cpr_phases)
+    ph0 = jnp.unwrap(4 * ph0, axis=0) / 4
+    ref0 = np.asarray(y0 * jnp.exp(1j * ph0))
+
+    got0 = np.asarray(out[0])
+    lo, hi = 32, ref0.shape[0] - (cfg.nFilterTaps + 200) // cfg.SpS_dsp
+    err = (np.linalg.norm(got0[lo:hi] - ref0[lo:hi])
+           / np.linalg.norm(ref0[lo:hi]))
+    assert err < 5e-2, err  # Parseval scale + BPS backend quantization
+
+
+def test_coherent_dsp_serve_single_signal():
+    import numpy as np
+    from opticommpy_tpu.pipelines import CoherentDSPConfig, coherent_dsp_serve
+
+    rng = np.random.default_rng(4)
+    cfg = CoherentDSPConfig(nFilterTaps=64, L=20, cpr_window=17,
+                            cpr_phases=16)
+    sig = (0.3 * (rng.normal(size=(2**11, 2)) + 1j * rng.normal(size=(2**11, 2)))
+           ).astype(np.complex64)
+    H = np.zeros((2, 2, 15), dtype=np.complex64)
+    H[0, 0, 7] = 1
+    H[1, 1, 7] = 1
+    out, phases = coherent_dsp_serve(jnp.asarray(sig), jnp.asarray(H), cfg)
+    assert out.ndim == 2 and out.shape[1] == 2
+    assert np.isfinite(np.asarray(out)).all()
