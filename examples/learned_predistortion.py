@@ -1,0 +1,145 @@
+"""Gradient-based transmitter pre-distortion learned THROUGH the fiber.
+
+A capability with no reference counterpart: because the whole physics stack
+is JAX, the Manakov split-step propagation (models/channels.py) is
+differentiable end to end — so a transmitter-side nonlinearity compensator
+can be learned by backpropagating symbol error through hundreds of split
+steps of the actual channel model.
+
+Setup: 16-QAM polmux over one 50 km span at a deliberately hot launch power
+(nonlinear regime). A small complex FIR pre-distorter (shared across
+polarizations) is applied before launch; Adam minimizes the post-matched-
+filter MSE against the transmitted symbols, with the chromatic dispersion
+ideally compensated at the receiver so the residual error is dominated by
+the Kerr nonlinearity the optimizer must learn to pre-invert.
+
+Runs anywhere (CPU by default, small sizes); on TPU the same program is one
+XLA graph per optimization step. For long links, wrap spans in
+``jax.checkpoint`` to trade recompute for activation memory.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--cpu", action="store_true", help="run on CPU")
+parser.add_argument("--steps", type=int, default=120)
+args = parser.parse_args()
+if args.cpu:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import optax  # noqa: E402
+
+from opticommpy_tpu.comm.modulation import gray_mapping, modulate_gray  # noqa: E402
+from opticommpy_tpu.dsp.equalization import EDCConfig, edc  # noqa: E402
+from opticommpy_tpu.models import SSFMConfig  # noqa: E402
+from opticommpy_tpu.models.channels import manakov_ssf  # noqa: E402
+from opticommpy_tpu.ops.filtering import fir_filter, pulse_shape  # noqa: E402
+from opticommpy_tpu.ops.signal import pnorm, upsample  # noqa: E402
+
+
+def main():
+    rng = np.random.default_rng(0)
+    sps, rs = 2, 32e9
+    fs = rs * sps
+    n_sym = 2**11
+    launch_amp = 0.15  # nonlinear regime (mean NL phase ~0.5 rad)
+
+    bits = rng.integers(0, 2, size=(n_sym * 4, 2))
+    symbols = jnp.stack(
+        [modulate_gray(jnp.asarray(bits[:, i]), 16, "qam") for i in range(2)],
+        axis=1,
+    )
+    symbols = pnorm(symbols)
+    pulse = pulse_shape("rrc", sps, 257, 0.1).astype(np.float32)  # odd: symbol-centered
+    tx_wave = fir_filter(jnp.asarray(pulse), upsample(symbols, sps))
+    tx_wave = launch_amp * pnorm(tx_wave)
+
+    cfg = SSFMConfig(Ltotal=50.0, Lspan=50.0, hz=1.0, alpha=0.2, D=16.0,
+                     gamma=1.3, Fs=fs, amp="ideal", nlprMethod=False,
+                     trapIters=1)
+    edc_cfg = EDCConfig(L=cfg.Ltotal, D=cfg.D, Fs=fs, Rs=rs)
+
+    n_pre = 11  # pre-distorter taps
+
+    def receive(wave):
+        y = manakov_ssf(wave, cfg)
+        y = edc(y, edc_cfg)
+        y = fir_filter(jnp.asarray(pulse), y)
+        y = pnorm(y[::sps][:n_sym])
+        # remove the mean (self-phase) constellation rotation per pol — a
+        # trained CPR absorbs it in a real receiver
+        rot = jnp.sum(jnp.conj(y) * symbols, axis=0)
+        return y * (rot / jnp.abs(rot))[None, :]
+
+    def predistort(params, wave):
+        # linear FIR + learnable Kerr pre-rotation exp(-j c (|ux|^2+|uy|^2)):
+        # the intensity-dependent term is what a linear filter cannot
+        # represent, and c is a physical quantity the optimizer discovers
+        # (the effective accumulated nonlinear coefficient of the span)
+        u = fir_filter(params["taps"], wave)
+        p = jnp.sum((u * jnp.conj(u)).real, axis=-1, keepdims=True)
+        u = u * jnp.exp(-1j * params["c"] * p)
+        return launch_amp * pnorm(u)  # power-constrained
+
+    def loss_fn(params):
+        y = receive(predistort(params, tx_wave))
+        return jnp.mean(jnp.abs(y - symbols) ** 2)
+
+    params0 = {
+        "taps": jnp.zeros(n_pre, jnp.complex64).at[n_pre // 2].set(1.0 + 0j),
+        "c": jnp.asarray(0.0, jnp.float32),
+    }
+    base = float(jax.jit(loss_fn)(params0))
+
+    opt = optax.adam(3e-2)
+    state = opt.init(params0)
+
+    @jax.jit
+    def step(params, state):
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        # Adam on C^n: JAX returns the conjugate cotangent; optax treats a
+        # complex leaf componentwise, which is exactly gradient descent on
+        # (Re, Im)
+        g = jax.tree.map(lambda x: jnp.conj(x) if jnp.iscomplexobj(x) else x, g)
+        updates, state = opt.update(g, state)
+        return optax.apply_updates(params, updates), state, loss
+
+    params = params0
+    for i in range(args.steps):
+        params, state, loss = step(params, state)
+        if i % 10 == 0 or i == args.steps - 1:
+            print(f"step {i:3d}: symbol MSE {float(loss):.5f} "
+                  f"(start {base:.5f}), c = {float(params['c']):.4f}")
+
+    final = float(jax.jit(loss_fn)(params))
+    evm_db = 10 * np.log10(final)
+    evm0_db = 10 * np.log10(base)
+    # full lumped pre-compensation would be c = (8/9) gamma L_eff; the
+    # learned optimum sits far below it because dispersion decorrelates the
+    # waveform intensity along the span (only the pre-walk-off fraction of
+    # the Kerr phase is pre-invertible by a lumped rotation)
+    alpha_np = cfg.alpha / (10 * np.log10(np.e))
+    l_eff = (1 - np.exp(-alpha_np * cfg.Ltotal)) / alpha_np
+    print(f"\nEVM without pre-distortion: {evm0_db:6.2f} dB")
+    print(f"EVM with learned params:    {evm_db:6.2f} dB "
+          f"({evm0_db - evm_db:.2f} dB gain)")
+    print(f"learned Kerr coefficient c = {float(params['c']):.3f} "
+          f"(full lumped pre-comp would be (8/9)*gamma*L_eff = "
+          f"{8 / 9 * cfg.gamma * l_eff:.1f}; dispersion walk-off caps the "
+          f"useful fraction)")
+    assert final < base, "optimizer failed to improve through the channel"
+
+
+if __name__ == "__main__":
+    main()

@@ -147,3 +147,32 @@ def test_coherent_dsp_serve_single_signal():
     out, phases = coherent_dsp_serve(jnp.asarray(sig), jnp.asarray(H), cfg)
     assert out.ndim == 2 and out.shape[1] == 2
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_coherent_dsp_serve_sharded_batch():
+    """Serving scales over the mesh data axis: shard_map == single-device."""
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    from opticommpy_tpu.pipelines import CoherentDSPConfig, coherent_dsp_serve
+
+    rng = np.random.default_rng(5)
+    cfg = CoherentDSPConfig(nFilterTaps=64, L=20, cpr_window=17,
+                            cpr_phases=16)
+    b = 4
+    sig_b = (0.3 * (rng.normal(size=(b, 2**11, 2))
+                    + 1j * rng.normal(size=(b, 2**11, 2)))).astype(np.complex64)
+    H_b = np.zeros((b, 2, 2, 15), dtype=np.complex64)
+    H_b[:, 0, 0, 7] = 1
+    H_b[:, 1, 1, 7] = 1
+
+    ref, _ = coherent_dsp_serve(jnp.asarray(sig_b), jnp.asarray(H_b), cfg)
+
+    mesh = Mesh(np.array(jax.devices()[:b]), ("data",))
+    fn = jax.shard_map(
+        lambda s, h: coherent_dsp_serve(s, h, cfg)[0],
+        mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data"),
+        check_vma=False,  # pallas_call does not declare varying-axes metadata
+    )
+    out = fn(jnp.asarray(sig_b), jnp.asarray(H_b))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
