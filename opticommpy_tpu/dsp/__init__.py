@@ -43,5 +43,6 @@ from opticommpy_tpu.kernels.ddpll_pallas import ddpll_pallas  # noqa: F401
 from opticommpy_tpu.kernels.gardner_pallas import gardner_pallas  # noqa: F401
 from opticommpy_tpu.kernels.mimo_pallas import (  # noqa: F401
     mimo_eq_pallas,
+    mimo_eq_pallas_batch,
     mimo_lms_pallas,
 )

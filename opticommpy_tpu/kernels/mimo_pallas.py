@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 
 from opticommpy_tpu.kernels._util import split_ri
 
-__all__ = ["mimo_lms_pallas", "mimo_eq_pallas"]
+__all__ = ["mimo_lms_pallas", "mimo_eq_pallas", "mimo_eq_pallas_batch"]
 
 
 def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
@@ -257,3 +257,232 @@ def mimo_lms_pallas(sig, symb_ref, const, n_taps=15, sps=2, mu=2e-3,
     """
     return mimo_eq_pallas(sig, symb_ref, const, "lms", n_taps, sps, mu,
                           n_train, block, H0, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Batched variant: B independent signals adapt in ONE kernel pass
+# ---------------------------------------------------------------------------
+
+
+def _kernel_batch(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref,
+                  ci_ref, aux_ref, h0_re_ref, h0_im_ref, out_re_ref,
+                  out_im_ref, hout_re_ref, hout_im_ref, h_re, h_im, *,
+                  block, n_batch, width, mu, n_train, m_const, alg, m_aux):
+    """Grid step over symbol blocks; per-signal H tensors in VMEM scratch.
+
+    Identical math to :func:`_kernel` for every signal — the batch rides the
+    sublane axis ((n_batch, width) planes per symbol), so the per-symbol
+    instruction stream serves all B recurrences at once instead of leaving
+    7/8 of each vector register idle (a vmapped per-signal kernel measured
+    ~2.7x slower than this layout for the analogous BPS case on v5e).
+    """
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        h_re[...] = h0_re_ref[...]
+        h_im[...] = h0_im_ref[...]
+
+    def body(i, _):
+        w_re = win_re_ref[i]  # (n_batch, width)
+        w_im = win_im_ref[i]
+        hr = h_re[...]  # (2, n_batch, width)
+        hi = h_im[...]
+        o_re = jnp.sum(hr * w_re[None] - hi * w_im[None], axis=-1)  # (2, B)
+        o_im = jnp.sum(hr * w_im[None] + hi * w_re[None], axis=-1)
+
+        if alg in ("lms", "nlms"):
+            k_global = b * block + i
+            r_re = ref_re_ref[i]  # (2, B)
+            r_im = ref_im_ref[i]
+            d2 = (o_re[..., None] - cr_ref[0, :][None, None, :]) ** 2 + (
+                o_im[..., None] - ci_ref[0, :][None, None, :]) ** 2
+            ind = jnp.argmin(d2, axis=-1)  # (2, B)
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (2, n_batch, m_const), 2)
+            sel = (cols == ind[..., None]).astype(jnp.float32)
+            dec_re = jnp.sum(sel * cr_ref[0, :][None, None, :], axis=-1)
+            dec_im = jnp.sum(sel * ci_ref[0, :][None, None, :], axis=-1)
+            use_ref = k_global < n_train
+            t_re = jnp.where(use_ref, r_re, dec_re)
+            t_im = jnp.where(use_ref, r_im, dec_im)
+            e_re = t_re - o_re
+            e_im = t_im - o_im
+        elif alg == "cma":
+            err = aux_ref[0, 0] - (o_re**2 + o_im**2)  # (2, B)
+            e_re = err * o_re
+            e_im = err * o_im
+        elif alg == "rde":
+            r = jnp.sqrt(o_re**2 + o_im**2)  # (2, B)
+            d2 = (r[..., None] - aux_ref[0, :][None, None, :]) ** 2
+            ind = jnp.argmin(d2, axis=-1)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (2, n_batch, m_aux), 2)
+            sel = (cols == ind[..., None]).astype(jnp.float32)
+            r_dec = jnp.sum(sel * aux_ref[0, :][None, None, :], axis=-1)
+            err = r_dec**2 - (o_re**2 + o_im**2)
+            e_re = err * o_re
+            e_im = err * o_im
+        else:
+            raise ValueError(f"unknown alg {alg}")
+
+        if alg == "nlms":
+            lane = jax.lax.broadcasted_iota(jnp.int32, (n_batch, width), 1)
+            m0 = (lane % 2 == 0).astype(jnp.float32)
+            pw = w_re**2 + w_im**2
+            p0 = jnp.sum(pw * m0, axis=-1, keepdims=True)  # (B, 1)
+            p1 = jnp.sum(pw * (1.0 - m0), axis=-1, keepdims=True)
+            p_mode = jnp.maximum(m0 * p0 + (1.0 - m0) * p1, 1e-12)
+            g_re = w_re / p_mode
+            g_im = w_im / p_mode
+        else:
+            g_re = w_re
+            g_im = w_im
+        upd_re = e_re[..., None] * g_re[None] + e_im[..., None] * g_im[None]
+        upd_im = e_im[..., None] * g_re[None] - e_re[..., None] * g_im[None]
+        h_re[...] = hr + mu * upd_re
+        h_im[...] = hi + mu * upd_im
+
+        out_re_ref[i] = o_re
+        out_im_ref[i] = o_im
+        return 0
+
+    jax.lax.fori_loop(0, block, body, 0)
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _():
+        hout_re_ref[...] = h_re[...]
+        hout_im_ref[...] = h_im[...]
+
+
+@partial(jax.jit,
+         static_argnames=("n_taps", "sps", "mu", "n_train", "block", "alg",
+                          "interpret"))
+def _mimo_eq_run_batch(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
+                       aux, h0_re, h0_im, n_taps, sps, mu, n_train,
+                       block=256, alg="lms", interpret=False):
+    """sig_*: (B, N, 2) f32 planes; ref_*: (B, nSym, 2); h0_*: (B, 2, width)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_batch, _, _ = sig_re.shape
+    n_sym = ref_re.shape[1]
+    n_blocks = int(np.ceil(n_sym / block))
+    n_pad_sym = n_blocks * block
+    l_pad = n_taps // 2
+    width = 2 * n_taps
+
+    def windows(x):  # (B, N, 2) -> (n_pad_sym, B, width)
+        xp = jnp.pad(x, ((0, 0), (l_pad, l_pad + sps + n_taps
+                                  + n_pad_sym * sps - x.shape[1]), (0, 0)))
+        idx = np.arange(n_pad_sym)[:, None] * sps + np.arange(n_taps)[None, :]
+        w = xp[:, jnp.asarray(idx)]  # (B, n_pad_sym, taps, 2)
+        return w.reshape(n_batch, n_pad_sym, width).transpose(1, 0, 2)
+
+    w_re = windows(sig_re)
+    w_im = windows(sig_im)
+    # refs to (n_pad_sym, 2, B): mode on sublanes, batch on lanes
+    rp_re = jnp.pad(ref_re, ((0, 0), (0, n_pad_sym - n_sym), (0, 0)))
+    rp_im = jnp.pad(ref_im, ((0, 0), (0, n_pad_sym - n_sym), (0, 0)))
+    rp_re = rp_re.transpose(1, 2, 0)
+    rp_im = rp_im.transpose(1, 2, 0)
+    h0_re = h0_re.transpose(1, 0, 2)  # (2, B, width)
+    h0_im = h0_im.transpose(1, 0, 2)
+    m_const = int(const_re.shape[0])
+    m_aux = int(aux.shape[0])
+
+    kernel = partial(_kernel_batch, block=block, n_batch=n_batch, width=width,
+                     mu=mu, n_train=n_train, m_const=m_const, alg=alg,
+                     m_aux=m_aux)
+    out_re, out_im, h_re, h_im = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block, n_batch, width), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block, n_batch, width), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block, 2, n_batch), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block, 2, n_batch), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, m_const), lambda i: (0, 0)),
+            pl.BlockSpec((1, m_const), lambda i: (0, 0)),
+            pl.BlockSpec((1, m_aux), lambda i: (0, 0)),
+            pl.BlockSpec((2, n_batch, width), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, n_batch, width), lambda i: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, 2, n_batch), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block, 2, n_batch), lambda i: (i, 0, 0)),
+            pl.BlockSpec((2, n_batch, width), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, n_batch, width), lambda i: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad_sym, 2, n_batch), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad_sym, 2, n_batch), jnp.float32),
+            jax.ShapeDtypeStruct((2, n_batch, width), jnp.float32),
+            jax.ShapeDtypeStruct((2, n_batch, width), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, n_batch, width), jnp.float32),
+            pltpu.VMEM((2, n_batch, width), jnp.float32),
+        ],
+        interpret=interpret,
+    )(w_re, w_im, rp_re, rp_im, const_re[None, :], const_im[None, :],
+      aux[None, :], h0_re, h0_im)
+    # (n_pad_sym, 2, B) -> (B, n_sym, 2); (2, B, width) -> (B, 2, width)
+    out_re = out_re[:n_sym].transpose(2, 0, 1)
+    out_im = out_im[:n_sym].transpose(2, 0, 1)
+    return out_re, out_im, h_re.transpose(1, 0, 2), h_im.transpose(1, 0, 2)
+
+
+def mimo_eq_pallas_batch(sig, symb_ref, const, alg="lms", n_taps=15, sps=2,
+                         mu=2e-3, n_train=10000, block=256, H0=None,
+                         interpret=False):
+    """Batched Pallas 2x2 adaptive equalizer: B signals in one kernel pass.
+
+    Same per-signal math as :func:`mimo_eq_pallas` (each signal's recurrence
+    is independent), with the batch packed on the vector sublane axis — the
+    multi-channel (WDM serving) shape of the adaptive stage.
+
+    Parameters
+    ----------
+    sig : (B, N, 2) complex signals at ``sps`` samples/symbol.
+    symb_ref : (B, nSym, 2) reference symbols (None for blind 'cma'/'rde').
+    H0 : optional (B, 2, 2, n_taps) initial taps (default: central spike).
+
+    Returns
+    -------
+    (y (B, nSym, 2) complex, H (B, 2, 2, n_taps)).
+    """
+    sig_re, sig_im = split_ri(sig)
+    const = np.asarray(const).astype(np.complex64)
+    n_batch = sig_re.shape[0]
+    if symb_ref is None:
+        if alg in ("lms", "nlms"):
+            raise ValueError("symb_ref is required for alg='lms'/'nlms'")
+        n_sym = sig_re.shape[1] // sps
+        ref_re = ref_im = jnp.zeros((n_batch, n_sym, 2), dtype=jnp.float32)
+    else:
+        ref_re, ref_im = split_ri(symb_ref)
+    if H0 is None:
+        h0 = np.zeros((n_batch, 2, 2, n_taps), dtype=np.complex64)
+        h0[:, 0, 0, n_taps // 2] = 1.0
+        h0[:, 1, 1, n_taps // 2] = 1.0
+    else:
+        h0 = np.asarray(H0).astype(np.complex64)
+    h0_flat = h0.transpose(0, 1, 3, 2).reshape(n_batch, 2, 2 * n_taps)
+
+    if alg == "cma":
+        r_cma = np.mean(np.abs(const) ** 4) / np.mean(np.abs(const) ** 2)
+        aux = np.array([r_cma], dtype=np.float32)
+    elif alg == "rde":
+        aux = np.unique(np.round(np.abs(const), 6)).astype(np.float32)
+    else:
+        aux = np.zeros(1, dtype=np.float32)
+
+    out_re, out_im, h_re, h_im = _mimo_eq_run_batch(
+        sig_re, sig_im, ref_re, ref_im,
+        jnp.asarray(const.real), jnp.asarray(const.imag), jnp.asarray(aux),
+        jnp.asarray(h0_flat.real), jnp.asarray(h0_flat.imag),
+        int(n_taps), int(sps), float(mu), int(n_train), int(block), str(alg),
+        bool(interpret),
+    )
+    y = out_re + 1j * out_im
+    h = (h_re + 1j * h_im).reshape(n_batch, 2, n_taps, 2).transpose(0, 1, 3, 2)
+    return y, h

@@ -139,3 +139,57 @@ def test_pallas_lms_sps1():
                           mu=2e-3, n_train=n_sym, block=256, interpret=True)
     err = np.mean(np.abs(np.asarray(y)[-500:] - np.asarray(symb)[-500:]) ** 2)
     assert err < 0.01
+
+
+def test_batched_kernel_matches_per_signal_all_algs():
+    """mimo_eq_pallas_batch == mimo_eq_pallas per signal (bit-identical)."""
+    import numpy as np
+    from opticommpy_tpu.comm.modulation import gray_mapping
+    from opticommpy_tpu.kernels.mimo_pallas import (
+        mimo_eq_pallas, mimo_eq_pallas_batch,
+    )
+
+    const = gray_mapping(16, "qam")
+    const = (const / np.sqrt(np.mean(np.abs(const) ** 2))).astype(np.complex64)
+    rng = np.random.default_rng(0)
+    b, n_sym, sps = 3, 900, 2
+    sig = (0.5 * (rng.normal(size=(b, n_sym * sps, 2))
+                  + 1j * rng.normal(size=(b, n_sym * sps, 2)))
+           ).astype(np.complex64)
+    ref = const[rng.integers(0, 16, size=(b, n_sym, 2))]
+    for alg in ["lms", "nlms", "cma", "rde"]:
+        data_aided = alg in ("lms", "nlms")
+        yb, hb = mimo_eq_pallas_batch(
+            sig, ref if data_aided else None, const, alg=alg, n_taps=15,
+            sps=sps, mu=1e-3, n_train=300, block=256, interpret=True)
+        for i in range(b):
+            y1, h1 = mimo_eq_pallas(
+                sig[i], ref[i] if data_aided else None, const, alg=alg,
+                n_taps=15, sps=sps, mu=1e-3, n_train=300, block=256,
+                interpret=True)
+            np.testing.assert_array_equal(np.asarray(yb[i]), np.asarray(y1))
+            np.testing.assert_array_equal(np.asarray(hb[i]), np.asarray(h1))
+
+
+def test_batched_kernel_custom_h0_and_odd_length():
+    import numpy as np
+    from opticommpy_tpu.comm.modulation import gray_mapping
+    from opticommpy_tpu.kernels.mimo_pallas import mimo_eq_pallas_batch
+
+    const = gray_mapping(4, "qam")
+    const = (const / np.sqrt(np.mean(np.abs(const) ** 2))).astype(np.complex64)
+    rng = np.random.default_rng(1)
+    b, n_sym, sps, n_taps = 2, 333, 2, 7  # not a multiple of block
+    sig = (0.5 * (rng.normal(size=(b, n_sym * sps, 2))
+                  + 1j * rng.normal(size=(b, n_sym * sps, 2)))
+           ).astype(np.complex64)
+    ref = const[rng.integers(0, 4, size=(b, n_sym, 2))]
+    h0 = np.zeros((b, 2, 2, n_taps), np.complex64)
+    h0[:, 0, 0, 3] = 0.9
+    h0[:, 1, 1, 3] = 1.1
+    y, h = mimo_eq_pallas_batch(sig, ref, const, alg="lms", n_taps=n_taps,
+                                sps=sps, mu=1e-3, n_train=100, block=128,
+                                H0=h0, interpret=True)
+    assert y.shape == (b, n_sym, 2)
+    assert h.shape == (b, 2, 2, n_taps)
+    assert np.isfinite(np.asarray(y)).all()
