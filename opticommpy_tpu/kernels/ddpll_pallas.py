@@ -28,7 +28,8 @@ __all__ = ["ddpll_pallas"]
 
 
 def _kernel(x_re_ref, x_im_ref, ref_re_ref, ref_im_ref, pilot_ref,
-            cr_ref, ci_ref, coef_ref, out_ref, state, *, block, m_const):
+            cr_ref, ci_ref, coef_ref, out_ref, state, *, block, m_const,
+            n_cols):
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -41,7 +42,7 @@ def _kernel(x_re_ref, x_im_ref, ref_re_ref, ref_im_ref, pilot_ref,
         u_f = state[1, :]
         u_d1 = state[2, :]
 
-        x_re = x_re_ref[i, :]  # (2,)
+        x_re = x_re_ref[i, :]  # (n_cols,) — each column an independent PLL
         x_im = x_im_ref[i, :]
         c = jnp.cos(phi)
         s = jnp.sin(phi)
@@ -53,7 +54,7 @@ def _kernel(x_re_ref, x_im_ref, ref_re_ref, ref_im_ref, pilot_ref,
             eo_im[:, None] - ci_ref[0, :][None, :]
         ) ** 2
         ind = jnp.argmin(d2, axis=1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (2, m_const), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n_cols, m_const), 1)
         sel = (cols == ind[:, None]).astype(jnp.float32)
         dec_re = jnp.sum(sel * cr_ref[0, :][None, :], axis=1)
         dec_im = jnp.sum(sel * ci_ref[0, :][None, :], axis=1)
@@ -88,23 +89,24 @@ def _ddpll_run(x_re, x_im, ref_re, ref_im, pilot, const_re, const_im, coefs,
         return jnp.pad(x, ((0, n_pad - n), (0, 0)))
 
     m_const = int(const_re.shape[0])
-    kernel = partial(_kernel, block=block, m_const=m_const)
+    n_cols = int(x_re.shape[1])
+    kernel = partial(_kernel, block=block, m_const=m_const, n_cols=n_cols)
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((block, 2), lambda i: (i, 0)),
-            pl.BlockSpec((block, 2), lambda i: (i, 0)),
-            pl.BlockSpec((block, 2), lambda i: (i, 0)),
-            pl.BlockSpec((block, 2), lambda i: (i, 0)),
-            pl.BlockSpec((block, 2), lambda i: (i, 0)),
+            pl.BlockSpec((block, n_cols), lambda i: (i, 0)),
+            pl.BlockSpec((block, n_cols), lambda i: (i, 0)),
+            pl.BlockSpec((block, n_cols), lambda i: (i, 0)),
+            pl.BlockSpec((block, n_cols), lambda i: (i, 0)),
+            pl.BlockSpec((block, n_cols), lambda i: (i, 0)),
             pl.BlockSpec((1, m_const), lambda i: (0, 0)),
             pl.BlockSpec((1, m_const), lambda i: (0, 0)),
             pl.BlockSpec((1, 4), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((block, 2), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((4, 2), jnp.float32)],
+        out_specs=pl.BlockSpec((block, n_cols), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_cols), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((4, n_cols), jnp.float32)],
         interpret=interpret,
     )(padrows(x_re), padrows(x_im), padrows(ref_re), padrows(ref_im),
       padrows(pilot), const_re[None, :], const_im[None, :], coefs[None, :])
@@ -116,30 +118,35 @@ def ddpll_pallas(sig, ts, kv, tau1, tau2, const_symb, symb_tx=None,
     """Pallas DD-PLL (drop-in for carrier_recovery.ddpll).
 
     Returns the per-symbol phase estimates, matching the scan formulation.
+    Each input column runs an independent PLL, so a BATCH of signals can be
+    packed on the mode axis (``sig.reshape(N, B*modes)`` column-wise) and
+    recovered in one kernel pass — the same lane-packing recipe as the
+    batched BPS/MIMO kernels.
     """
     sig_re, sig_im = split_ri(sig)  # no complex host->device transfer
     squeeze = sig_re.ndim == 1
     if squeeze:
         sig_re, sig_im = sig_re[:, None], sig_im[:, None]
-    if sig_re.shape[1] == 1:
+    n_modes_in = sig_re.shape[1]
+    if n_modes_in == 1:
+        # a 1-wide lane axis lowers poorly; pad to 2 and drop the extra
         sig_re = jnp.concatenate([sig_re, jnp.zeros_like(sig_re)], axis=1)
         sig_im = jnp.concatenate([sig_im, jnp.zeros_like(sig_im)], axis=1)
-        two_mode_input = False
-    else:
-        two_mode_input = True
     n = sig_re.shape[0]
+    n_cols = sig_re.shape[1]
     const_symb = np.asarray(const_symb).astype(np.complex64)
 
     if symb_tx is None:
-        ref_re = ref_im = jnp.zeros((n, 2), dtype=jnp.float32)
+        ref_re = ref_im = jnp.zeros((n, n_cols), dtype=jnp.float32)
     else:
         ref_re, ref_im = split_ri(symb_tx)
         if ref_re.ndim == 1:
             ref_re, ref_im = ref_re[:, None], ref_im[:, None]
-        if ref_re.shape[1] == 1:
-            ref_re = jnp.concatenate([ref_re, jnp.zeros_like(ref_re)], axis=1)
-            ref_im = jnp.concatenate([ref_im, jnp.zeros_like(ref_im)], axis=1)
-    pilot = np.zeros((n, 2), dtype=np.float32)
+        if ref_re.shape[1] < n_cols:
+            padc = n_cols - ref_re.shape[1]
+            ref_re = jnp.pad(ref_re, ((0, 0), (0, padc)))
+            ref_im = jnp.pad(ref_im, ((0, 0), (0, padc)))
+    pilot = np.zeros((n, n_cols), dtype=np.float32)
     if pilot_ind is not None:
         pilot[np.asarray(pilot_ind)] = 1.0
 
@@ -157,6 +164,5 @@ def ddpll_pallas(sig, ts, kv, tau1, tau2, const_symb, symb_tx=None,
         jnp.asarray(pilot), jnp.asarray(const_symb.real),
         jnp.asarray(const_symb.imag), jnp.asarray(a), block, interpret,
     )
-    if not two_mode_input:
-        est = est[:, :1]
+    est = est[:, :n_modes_in]
     return est[:, 0] if squeeze else est

@@ -110,3 +110,27 @@ def test_ddpll_pallas_with_pilots():
                                   block=512, interpret=True))
     err = np.angle(np.exp(1j * 4 * (est + np.asarray(phi)))) / 4
     assert np.std(err[1000:]) < 0.08
+
+
+def test_ddpll_pallas_batch_packed_columns():
+    """Packing B signals on the mode axis == running each separately."""
+    import numpy as np
+    from opticommpy_tpu.comm.modulation import gray_mapping
+    from opticommpy_tpu.kernels.ddpll_pallas import ddpll_pallas
+
+    const = gray_mapping(4, "qam")
+    const = (const / np.sqrt(np.mean(np.abs(const) ** 2))).astype(np.complex64)
+    rng = np.random.default_rng(0)
+    b, n = 4, 700
+    sym = const[rng.integers(0, 4, size=(n, 2 * b))]
+    phase = np.cumsum(rng.normal(0, 0.01, size=(n, 1)), axis=0)
+    sig = (sym * np.exp(1j * phase)).astype(np.complex64)
+    ts, kv, tau1, tau2 = 1 / 32e9, 0.1, 1 / (2 * np.pi * 1e6), 1e-9
+    est_packed = np.asarray(ddpll_pallas(sig, ts, kv, tau1, tau2, const,
+                                         interpret=True))
+    assert est_packed.shape == (n, 2 * b)
+    for i in range(b):
+        est_i = np.asarray(ddpll_pallas(sig[:, 2 * i:2 * i + 2], ts, kv,
+                                        tau1, tau2, const, interpret=True))
+        np.testing.assert_allclose(est_packed[:, 2 * i:2 * i + 2], est_i,
+                                   rtol=1e-5, atol=1e-7)
