@@ -40,7 +40,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 import optax  # noqa: E402
 
-from opticommpy_tpu.comm.modulation import gray_mapping, modulate_gray  # noqa: E402
+from opticommpy_tpu.comm.modulation import modulate_gray  # noqa: E402
 from opticommpy_tpu.dsp.equalization import EDCConfig, edc  # noqa: E402
 from opticommpy_tpu.models import SSFMConfig  # noqa: E402
 from opticommpy_tpu.models.channels import manakov_ssf  # noqa: E402
