@@ -16,6 +16,7 @@ from opticommpy_tpu.utils.units import (
     w2dbm,
 )
 from opticommpy_tpu.utils.rng import ensure_key
+from opticommpy_tpu.utils.compile_cache import enable_persistent_cache  # noqa: F401
 
 __all__ = [
     "bitarray2dec",

@@ -59,3 +59,20 @@ def test_checkpoint_resume_equalizer_taps(tmp_path):
     y1 = mimo_apply(H, sig, 2)
     y2 = mimo_apply(H2, sig, 2)
     assert np.array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_enable_persistent_cache(tmp_path, monkeypatch):
+    import jax
+    from opticommpy_tpu.utils import enable_persistent_cache
+
+    p = enable_persistent_cache(str(tmp_path / "xla"), min_compile_secs=0.0)
+    try:
+        assert p == str(tmp_path / "xla")
+        import os
+        assert os.path.isdir(p)
+        # a compile should populate the cache directory
+        import jax.numpy as jnp
+        jax.jit(lambda x: jnp.sin(x) * 2)(jnp.ones(512)).block_until_ready()
+        assert len(os.listdir(p)) >= 1
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
