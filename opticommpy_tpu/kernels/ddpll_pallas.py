@@ -23,13 +23,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 from opticommpy_tpu.kernels._util import split_ri
+from opticommpy_tpu.kernels.bps_pallas import _square_qam_levels
 
 __all__ = ["ddpll_pallas"]
 
 
 def _kernel(x_re_ref, x_im_ref, ref_re_ref, ref_im_ref, pilot_ref,
             cr_ref, ci_ref, coef_ref, out_ref, state, *, block, m_const,
-            n_cols):
+            n_cols, qam_grid=None):
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -50,14 +51,24 @@ def _kernel(x_re_ref, x_im_ref, ref_re_ref, ref_im_ref, pilot_ref,
         eo_im = x_re * s + x_im * c
 
         # slicer: pilot reference or nearest constellation point
-        d2 = (eo_re[:, None] - cr_ref[0, :][None, :]) ** 2 + (
-            eo_im[:, None] - ci_ref[0, :][None, :]
-        ) ** 2
-        ind = jnp.argmin(d2, axis=1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (n_cols, m_const), 1)
-        sel = (cols == ind[:, None]).astype(jnp.float32)
-        dec_re = jnp.sum(sel * cr_ref[0, :][None, :], axis=1)
-        dec_im = jnp.sum(sel * ci_ref[0, :][None, :], axis=1)
+        if qam_grid is not None:
+            lo, step, n_lev = qam_grid  # O(1) square-QAM quantize
+
+            def q(x):
+                k = jnp.clip(jnp.round((x - lo) / step), 0.0, n_lev - 1.0)
+                return k * step + lo
+
+            dec_re = q(eo_re)
+            dec_im = q(eo_im)
+        else:
+            d2 = (eo_re[:, None] - cr_ref[0, :][None, :]) ** 2 + (
+                eo_im[:, None] - ci_ref[0, :][None, :]
+            ) ** 2
+            ind = jnp.argmin(d2, axis=1)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (n_cols, m_const), 1)
+            sel = (cols == ind[:, None]).astype(jnp.float32)
+            dec_re = jnp.sum(sel * cr_ref[0, :][None, :], axis=1)
+            dec_im = jnp.sum(sel * ci_ref[0, :][None, :], axis=1)
         pil = pilot_ref[i, :]
         t_re = pil * ref_re_ref[i, :] + (1 - pil) * dec_re
         t_im = pil * ref_im_ref[i, :] + (1 - pil) * dec_im
@@ -76,9 +87,9 @@ def _kernel(x_re_ref, x_im_ref, ref_re_ref, ref_im_ref, pilot_ref,
     jax.lax.fori_loop(0, block, body, 0)
 
 
-@partial(jax.jit, static_argnames=("block", "interpret"))
+@partial(jax.jit, static_argnames=("block", "qam_grid", "interpret"))
 def _ddpll_run(x_re, x_im, ref_re, ref_im, pilot, const_re, const_im, coefs,
-               block=512, interpret=False):
+               block=512, qam_grid=None, interpret=False):
     from jax.experimental.pallas import tpu as pltpu
 
     n = x_re.shape[0]
@@ -90,7 +101,8 @@ def _ddpll_run(x_re, x_im, ref_re, ref_im, pilot, const_re, const_im, coefs,
 
     m_const = int(const_re.shape[0])
     n_cols = int(x_re.shape[1])
-    kernel = partial(_kernel, block=block, m_const=m_const, n_cols=n_cols)
+    kernel = partial(_kernel, block=block, m_const=m_const, n_cols=n_cols,
+                     qam_grid=qam_grid)
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -159,10 +171,12 @@ def ddpll_pallas(sig, ts, kv, tau1, tau2, const_symb, symb_tx=None,
         ],
         dtype=np.float32,
     )
+    qam_grid = _square_qam_levels(const_symb.real, const_symb.imag)
     est = _ddpll_run(
         sig_re, sig_im, ref_re, ref_im,
         jnp.asarray(pilot), jnp.asarray(const_symb.real),
-        jnp.asarray(const_symb.imag), jnp.asarray(a), block, interpret,
+        jnp.asarray(const_symb.imag), jnp.asarray(a), block, qam_grid,
+        interpret,
     )
     est = est[:, :n_modes_in]
     return est[:, 0] if squeeze else est

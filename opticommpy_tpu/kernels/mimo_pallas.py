@@ -35,6 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 from opticommpy_tpu.kernels._util import split_ri
+from opticommpy_tpu.kernels.bps_pallas import _square_qam_levels
 
 __all__ = ["mimo_lms_pallas", "mimo_eq_pallas", "mimo_eq_pallas_batch"]
 
@@ -42,7 +43,7 @@ __all__ = ["mimo_lms_pallas", "mimo_eq_pallas", "mimo_eq_pallas_batch"]
 def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
             aux_ref, h0_re_ref, h0_im_ref, out_re_ref, out_im_ref,
             hout_re_ref, hout_im_ref, h_re, h_im, *, block, width, mu,
-            n_train, m_const, alg, m_aux):
+            n_train, m_const, alg, m_aux, qam_grid=None):
     """Grid step over symbol blocks; H carried in VMEM scratch across steps."""
     b = pl.program_id(0)
 
@@ -65,17 +66,30 @@ def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
             # reference: data-aided before n_train, decision-directed after
             r_re = ref_re_ref[i, :]  # (2,)
             r_im = ref_im_ref[i, :]
-            d2 = (o_re[:, None] - cr_ref[0, :][None, :]) ** 2 + (
-                o_im[:, None] - ci_ref[0, :][None, :]
-            ) ** 2  # (2, M)
-            # nearest constellation point via min-mask reduction (Mosaic
-            # supports only 2-D gathers; an argmin-indexed 1-D gather fails
-            # to lower)
-            ind = jnp.argmin(d2, axis=1)  # (2,)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (2, m_const), 1)
-            sel = (cols == ind[:, None]).astype(jnp.float32)
-            dec_re = jnp.sum(sel * cr_ref[0, :][None, :], axis=1)
-            dec_im = jnp.sum(sel * ci_ref[0, :][None, :], axis=1)
+            if qam_grid is not None:
+                # uniform square grid: the nearest point factorizes per
+                # axis -> O(1) quantize (same trick as the Pallas BPS)
+                lo, step, n_lev = qam_grid
+
+                def q(x):
+                    k = jnp.clip(jnp.round((x - lo) / step), 0.0,
+                                 n_lev - 1.0)
+                    return k * step + lo
+
+                dec_re = q(o_re)
+                dec_im = q(o_im)
+            else:
+                d2 = (o_re[:, None] - cr_ref[0, :][None, :]) ** 2 + (
+                    o_im[:, None] - ci_ref[0, :][None, :]
+                ) ** 2  # (2, M)
+                # nearest constellation point via min-mask reduction (Mosaic
+                # supports only 2-D gathers; an argmin-indexed 1-D gather
+                # fails to lower)
+                ind = jnp.argmin(d2, axis=1)  # (2,)
+                cols = jax.lax.broadcasted_iota(jnp.int32, (2, m_const), 1)
+                sel = (cols == ind[:, None]).astype(jnp.float32)
+                dec_re = jnp.sum(sel * cr_ref[0, :][None, :], axis=1)
+                dec_im = jnp.sum(sel * ci_ref[0, :][None, :], axis=1)
             use_ref = k_global < n_train
             t_re = jnp.where(use_ref, r_re, dec_re)
             t_im = jnp.where(use_ref, r_im, dec_im)
@@ -136,10 +150,10 @@ def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
 
 @partial(jax.jit,
          static_argnames=("n_taps", "sps", "mu", "n_train", "block", "alg",
-                          "interpret"))
+                          "qam_grid", "interpret"))
 def _mimo_eq_run(sig_re, sig_im, ref_re, ref_im, const_re, const_im, aux,
                  h0_re, h0_im, n_taps, sps, mu, n_train, block=1024,
-                 alg="lms", interpret=False):
+                 alg="lms", qam_grid=None, interpret=False):
     """sig_*: (N, 2) f32 at sps samples/symbol; ref_*: (nSym, 2) f32."""
     from jax.experimental.pallas import tpu as pltpu
 
@@ -164,7 +178,8 @@ def _mimo_eq_run(sig_re, sig_im, ref_re, ref_im, const_re, const_im, aux,
     m_aux = int(aux.shape[0])
 
     kernel = partial(_kernel, block=block, width=width, mu=mu,
-                     n_train=n_train, m_const=m_const, alg=alg, m_aux=m_aux)
+                     n_train=n_train, m_const=m_const, alg=alg, m_aux=m_aux,
+                     qam_grid=qam_grid)
     out_re, out_im, h_re, h_im = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -237,12 +252,13 @@ def mimo_eq_pallas(sig, symb_ref, const, alg="lms", n_taps=15, sps=2, mu=2e-3,
     else:
         aux = np.zeros(1, dtype=np.float32)
 
+    qam_grid = _square_qam_levels(const.real, const.imag)
     out_re, out_im, h_re, h_im = _mimo_eq_run(
         sig_re, sig_im, ref_re, ref_im,
         jnp.asarray(const.real), jnp.asarray(const.imag), jnp.asarray(aux),
         jnp.asarray(h0_flat.real), jnp.asarray(h0_flat.imag),
         int(n_taps), int(sps), float(mu), int(n_train), int(block), str(alg),
-        bool(interpret),
+        qam_grid, bool(interpret),
     )
     y = out_re + 1j * out_im
     h = (h_re + 1j * h_im).reshape(2, n_taps, 2).transpose(0, 2, 1)
@@ -267,7 +283,8 @@ def mimo_lms_pallas(sig, symb_ref, const, n_taps=15, sps=2, mu=2e-3,
 def _kernel_batch(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref,
                   ci_ref, aux_ref, h0_re_ref, h0_im_ref, out_re_ref,
                   out_im_ref, hout_re_ref, hout_im_ref, h_re, h_im, *,
-                  block, n_batch, width, mu, n_train, m_const, alg, m_aux):
+                  block, n_batch, width, mu, n_train, m_const, alg, m_aux,
+                  qam_grid=None):
     """Grid step over symbol blocks; per-signal H tensors in VMEM scratch.
 
     Identical math to :func:`_kernel` for every signal — the batch rides the
@@ -295,14 +312,25 @@ def _kernel_batch(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref,
             k_global = b * block + i
             r_re = ref_re_ref[i]  # (2, B)
             r_im = ref_im_ref[i]
-            d2 = (o_re[..., None] - cr_ref[0, :][None, None, :]) ** 2 + (
-                o_im[..., None] - ci_ref[0, :][None, None, :]) ** 2
-            ind = jnp.argmin(d2, axis=-1)  # (2, B)
-            cols = jax.lax.broadcasted_iota(
-                jnp.int32, (2, n_batch, m_const), 2)
-            sel = (cols == ind[..., None]).astype(jnp.float32)
-            dec_re = jnp.sum(sel * cr_ref[0, :][None, None, :], axis=-1)
-            dec_im = jnp.sum(sel * ci_ref[0, :][None, None, :], axis=-1)
+            if qam_grid is not None:
+                lo, step, n_lev = qam_grid
+
+                def q(x):
+                    k = jnp.clip(jnp.round((x - lo) / step), 0.0,
+                                 n_lev - 1.0)
+                    return k * step + lo
+
+                dec_re = q(o_re)
+                dec_im = q(o_im)
+            else:
+                d2 = (o_re[..., None] - cr_ref[0, :][None, None, :]) ** 2 + (
+                    o_im[..., None] - ci_ref[0, :][None, None, :]) ** 2
+                ind = jnp.argmin(d2, axis=-1)  # (2, B)
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, (2, n_batch, m_const), 2)
+                sel = (cols == ind[..., None]).astype(jnp.float32)
+                dec_re = jnp.sum(sel * cr_ref[0, :][None, None, :], axis=-1)
+                dec_im = jnp.sum(sel * ci_ref[0, :][None, None, :], axis=-1)
             use_ref = k_global < n_train
             t_re = jnp.where(use_ref, r_re, dec_re)
             t_im = jnp.where(use_ref, r_im, dec_im)
@@ -356,10 +384,10 @@ def _kernel_batch(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref,
 
 @partial(jax.jit,
          static_argnames=("n_taps", "sps", "mu", "n_train", "block", "alg",
-                          "interpret"))
+                          "qam_grid", "interpret"))
 def _mimo_eq_run_batch(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
                        aux, h0_re, h0_im, n_taps, sps, mu, n_train,
-                       block=256, alg="lms", interpret=False):
+                       block=256, alg="lms", qam_grid=None, interpret=False):
     """sig_*: (B, N, 2) f32 planes; ref_*: (B, nSym, 2); h0_*: (B, 2, width)."""
     from jax.experimental.pallas import tpu as pltpu
 
@@ -391,7 +419,7 @@ def _mimo_eq_run_batch(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
 
     kernel = partial(_kernel_batch, block=block, n_batch=n_batch, width=width,
                      mu=mu, n_train=n_train, m_const=m_const, alg=alg,
-                     m_aux=m_aux)
+                     m_aux=m_aux, qam_grid=qam_grid)
     out_re, out_im, h_re, h_im = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -476,12 +504,13 @@ def mimo_eq_pallas_batch(sig, symb_ref, const, alg="lms", n_taps=15, sps=2,
     else:
         aux = np.zeros(1, dtype=np.float32)
 
+    qam_grid = _square_qam_levels(const.real, const.imag)
     out_re, out_im, h_re, h_im = _mimo_eq_run_batch(
         sig_re, sig_im, ref_re, ref_im,
         jnp.asarray(const.real), jnp.asarray(const.imag), jnp.asarray(aux),
         jnp.asarray(h0_flat.real), jnp.asarray(h0_flat.imag),
         int(n_taps), int(sps), float(mu), int(n_train), int(block), str(alg),
-        bool(interpret),
+        qam_grid, bool(interpret),
     )
     y = out_re + 1j * out_im
     h = (h_re + 1j * h_im).reshape(n_batch, 2, n_taps, 2).transpose(0, 1, 3, 2)
