@@ -134,3 +134,60 @@ def test_ddpll_pallas_batch_packed_columns():
                                         tau1, tau2, const, interpret=True))
         np.testing.assert_allclose(est_packed[:, 2 * i:2 * i + 2], est_i,
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_dfe_pallas_matches_scan():
+    """Pallas DFE == scan DFE (PAM, ISI channel), single and batched."""
+    import numpy as np
+    from opticommpy_tpu.comm.modulation import gray_mapping
+    from opticommpy_tpu.dsp.equalization import DFEConfig, dfe
+    from opticommpy_tpu.kernels.dfe_pallas import dfe_pallas
+
+    rng = np.random.default_rng(0)
+    const = gray_mapping(4, "pam").real
+    sym = const[rng.integers(0, 4, size=3000)].astype(np.complex64)
+    h = np.array([0.15, 1.0, 0.3, -0.1], np.complex64)
+    x = np.convolve(sym, h, "same") + 0.02 * rng.normal(size=sym.shape)
+    cfg = DFEConfig(nTapsFF=7, nTapsFB=5, SpS=1, mu=2e-3, nTrain=1200, M=4,
+                    constType="pam")
+    y1, f1, b1, m1 = dfe(jnp.asarray(x), jnp.asarray(sym), cfg)
+    y2, f2, b2, m2 = dfe_pallas(jnp.asarray(x), jnp.asarray(sym), cfg,
+                                interpret=True)
+    assert float(jnp.linalg.norm(y1 - y2) / jnp.linalg.norm(y1)) < 1e-5
+    assert float(jnp.linalg.norm(f1 - f2) / jnp.linalg.norm(f1)) < 1e-5
+    # decisions converge: post-training slice tracks the normalized symbols
+    from opticommpy_tpu.ops.signal import pnorm
+    sym_n = np.asarray(pnorm(jnp.asarray(sym)))
+    err = np.abs(np.asarray(y2[1500:3000]) - sym_n[1500:3000])
+    assert np.mean(err**2) < 0.05
+
+    # batch of two different signals == per-signal runs
+    x2 = np.convolve(sym[::-1], h, "same") + 0.02 * rng.normal(size=sym.shape)
+    xb = jnp.asarray(np.stack([x, x2]))
+    sb = jnp.asarray(np.stack([sym, sym[::-1]]))
+    yb, fb, bb, mb = dfe_pallas(xb, sb, cfg, interpret=True)
+    y_single, _, _, _ = dfe_pallas(jnp.asarray(x2), jnp.asarray(sym[::-1]),
+                                   cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(yb[1]), np.asarray(y_single),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_dfe_pallas_fulltime_and_qam():
+    import numpy as np
+    from opticommpy_tpu.comm.modulation import gray_mapping
+    from opticommpy_tpu.dsp.equalization import DFEConfig, dfe
+    from opticommpy_tpu.kernels.dfe_pallas import dfe_pallas
+
+    rng = np.random.default_rng(1)
+    const = gray_mapping(4, "qam")
+    const = (const / np.sqrt(np.mean(np.abs(const) ** 2))).astype(np.complex64)
+    sym = const[rng.integers(0, 4, size=2000)]
+    h = np.array([0.1 + 0.05j, 1.0, 0.2 - 0.1j], np.complex64)
+    x = np.convolve(sym, h, "same") + 0.02 * (
+        rng.normal(size=sym.shape) + 1j * rng.normal(size=sym.shape))
+    cfg = DFEConfig(nTapsFF=7, nTapsFB=3, SpS=1, mu=2e-3, nTrain=800, M=4,
+                    constType="qam", trainingMode="fulltime")
+    y1, f1, _, _ = dfe(jnp.asarray(x), jnp.asarray(sym), cfg)
+    y2, f2, _, _ = dfe_pallas(jnp.asarray(x), jnp.asarray(sym), cfg,
+                              interpret=True)
+    assert float(jnp.linalg.norm(y1 - y2) / jnp.linalg.norm(y1)) < 1e-5
