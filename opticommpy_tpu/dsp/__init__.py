@@ -39,7 +39,7 @@ from opticommpy_tpu.dsp.synchronization import (  # noqa: F401
 
 # Pallas TPU kernels for the serial recurrences (opt-in fast paths)
 from opticommpy_tpu.kernels.bps_pallas import bps_pallas  # noqa: F401
-from opticommpy_tpu.kernels.dfe_pallas import dfe_pallas  # noqa: F401
+from opticommpy_tpu.kernels.dfe_pallas import dfe_pallas, ffe_pallas  # noqa: F401
 from opticommpy_tpu.kernels.ddpll_pallas import ddpll_pallas  # noqa: F401
 from opticommpy_tpu.kernels.gardner_pallas import gardner_pallas  # noqa: F401
 from opticommpy_tpu.kernels.mimo_pallas import (  # noqa: F401

@@ -23,7 +23,7 @@ from jax.experimental import pallas as pl
 from opticommpy_tpu.kernels._util import split_ri
 from opticommpy_tpu.kernels.bps_pallas import _square_qam_levels
 
-__all__ = ["dfe_pallas"]
+__all__ = ["dfe_pallas", "ffe_pallas"]
 
 
 def _uniform_levels(c_re, c_im, tol=1e-5):
@@ -45,7 +45,7 @@ def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
             fout_re_ref, fout_im_ref, bout_re_ref, bout_im_ref,
             f_re, f_im, b_re, b_im, d_re, d_im, *,
             block, n_batch, n_ff, n_fb, mu, n_train, m_const, fulltime,
-            qam_grid, pam_grid):
+            qam_grid, pam_grid, use_fb=True):
     blk = pl.program_id(0)
 
     @pl.when(blk == 0)
@@ -63,10 +63,11 @@ def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
         fr, fi = f_re[...], f_im[...]  # (B, n_ff)
         br, bi = b_re[...], b_im[...]  # (B, n_fb)
         dr, di = d_re[...], d_im[...]  # (B, n_fb)
-        y_r = (jnp.sum(fr * w_re - fi * w_im, axis=-1)
-               + jnp.sum(br * dr - bi * di, axis=-1))  # (B,)
-        y_i = (jnp.sum(fr * w_im + fi * w_re, axis=-1)
-               + jnp.sum(br * di + bi * dr, axis=-1))
+        y_r = jnp.sum(fr * w_re - fi * w_im, axis=-1)  # (B,)
+        y_i = jnp.sum(fr * w_im + fi * w_re, axis=-1)
+        if use_fb:
+            y_r = y_r + jnp.sum(br * dr - bi * di, axis=-1)
+            y_i = y_i + jnp.sum(br * di + bi * dr, axis=-1)
 
         grid = qam_grid or pam_grid
         if grid is not None:
@@ -99,13 +100,14 @@ def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
             e_re[:, None] * w_re + e_im[:, None] * w_im)
         f_im[...] = fi + (mu * gate) * (
             e_im[:, None] * w_re - e_re[:, None] * w_im)
-        b_re[...] = br + (mu * gate) * (
-            e_re[:, None] * dr + e_im[:, None] * di)
-        b_im[...] = bi + (mu * gate) * (
-            e_im[:, None] * dr - e_re[:, None] * di)
-        # decision buffer shifts: newest at index 0 (reference roll(dbuf, 1))
-        d_re[...] = jnp.concatenate([t_re[:, None], dr[:, :-1]], axis=1)
-        d_im[...] = jnp.concatenate([t_im[:, None], di[:, :-1]], axis=1)
+        if use_fb:
+            b_re[...] = br + (mu * gate) * (
+                e_re[:, None] * dr + e_im[:, None] * di)
+            b_im[...] = bi + (mu * gate) * (
+                e_im[:, None] * dr - e_re[:, None] * di)
+            # decision buffer: newest at index 0 (reference roll(dbuf, 1))
+            d_re[...] = jnp.concatenate([t_re[:, None], dr[:, :-1]], axis=1)
+            d_im[...] = jnp.concatenate([t_im[:, None], di[:, :-1]], axis=1)
 
         y_re_ref[i] = y_r
         y_im_ref[i] = y_i
@@ -124,11 +126,12 @@ def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
 
 @partial(jax.jit,
          static_argnames=("n_ff", "n_fb", "sps", "mu", "n_train", "block",
-                          "fulltime", "qam_grid", "pam_grid", "interpret"))
+                          "fulltime", "qam_grid", "pam_grid", "use_fb",
+                          "interpret"))
 def _dfe_run(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
              f0_re, f0_im, b0_re, b0_im, n_ff, n_fb, sps, mu, n_train,
              block=1024, fulltime=False, qam_grid=None, pam_grid=None,
-             interpret=False):
+             use_fb=True, interpret=False):
     """sig_*: (B, N) f32 planes at sps samples/symbol; ref_*: (B, nSym)."""
     from jax.experimental.pallas import tpu as pltpu
 
@@ -150,7 +153,8 @@ def _dfe_run(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
 
     kernel = partial(_kernel, block=block, n_batch=n_batch, n_ff=n_ff,
                      n_fb=n_fb, mu=mu, n_train=n_train, m_const=m_const,
-                     fulltime=fulltime, qam_grid=qam_grid, pam_grid=pam_grid)
+                     fulltime=fulltime, qam_grid=qam_grid, pam_grid=pam_grid,
+                     use_fb=use_fb)
     outs = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -259,7 +263,7 @@ def dfe_pallas(sig, symb_ref, config=None, interpret=False, block=None):
             int(n_ff), int(n_fb), int(cfg.SpS), float(cfg.mu),
             int(cfg.nTrain), int(block),
             cfg.trainingMode == "fulltime", qam_grid, pam_grid,
-            bool(interpret),
+            True, bool(interpret),
         )
     y = y_re + 1j * y_im
     f = f_re + 1j * f_im
@@ -267,3 +271,69 @@ def dfe_pallas(sig, symb_ref, config=None, interpret=False, block=None):
     if squeeze:
         return y[0], f[0], b[0], mse[0]
     return y, f, b, mse
+
+
+def ffe_pallas(sig, symb_ref, config=None, interpret=False, block=None):
+    """Pallas feedforward equalizer (drop-in for dsp.ffe).
+
+    The DFE kernel with the feedback path compiled out. Single signal or a
+    batch on the sublane axis; returns (sigOut, f, mse) like
+    :func:`opticommpy_tpu.dsp.ffe` (the gradient always uses ``conj(win)``
+    — identical to the scan for real-valued IM-DD signals).
+    """
+    from opticommpy_tpu.comm.modulation import gray_mapping
+    from opticommpy_tpu.dsp.equalization import FFEConfig
+    from opticommpy_tpu.ops.signal import pnorm
+
+    cfg = config if config is not None else FFEConfig()
+    sig = pnorm(jnp.asarray(sig))
+    squeeze = sig.ndim == 1
+    if squeeze:
+        sig = sig[None]
+        symb_ref = jnp.asarray(symb_ref)[None]
+    if block is None:
+        block = 1024 if sig.shape[0] == 1 else 256
+    sig = sig.astype(jnp.complex64)
+    symb_ref = jax.vmap(pnorm)(jnp.asarray(symb_ref)).astype(jnp.complex64)
+    if not squeeze:
+        sig = jax.vmap(pnorm)(sig)
+
+    n_ff = cfg.nTaps
+    const_raw = np.asarray(gray_mapping(cfg.M, cfg.constType))
+    const = (const_raw / np.sqrt(np.mean(np.abs(const_raw) ** 2))
+             ).astype(np.complex64)
+    sig_pad = jnp.pad(sig, ((0, 0), (n_ff // 2, n_ff // 2)))
+    n_out = int((sig_pad.shape[1] - n_ff + n_ff % 2) // cfg.SpS)
+    b_sz = sig.shape[0]
+    ref = jnp.zeros((b_sz, n_out), dtype=jnp.complex64)
+    ref = ref.at[:, : symb_ref.shape[1]].set(symb_ref[:, :n_out])
+
+    sig_re, sig_im = split_ri(sig_pad)
+    ref_re, ref_im = split_ri(ref)
+    f0 = np.zeros((b_sz, n_ff), np.complex64)
+    f0[:, n_ff // 2] = 1.0
+    b0 = np.zeros((b_sz, 1), np.complex64)  # unused (use_fb=False)
+
+    qam_grid = _square_qam_levels(const.real, const.imag)
+    pam_grid = None if qam_grid is not None else _uniform_levels(
+        const.real, const.imag)
+
+    f_re, f_im = jnp.asarray(f0.real), jnp.asarray(f0.imag)
+    b_re, b_im = jnp.asarray(b0.real), jnp.asarray(b0.imag)
+    for _ in range(cfg.preconvIters):
+        y_re, y_im, mse, f_re, f_im, b_re, b_im = _dfe_run(
+            sig_re, sig_im, ref_re, ref_im,
+            jnp.asarray(const.real), jnp.asarray(const.imag),
+            f_re, f_im, b_re, b_im,
+            int(n_ff), 1, int(cfg.SpS), float(cfg.mu),
+            int(cfg.nTrain), int(block),
+            cfg.trainingMode == "fulltime", qam_grid, pam_grid,
+            False, bool(interpret),
+        )
+    y = y_re + 1j * y_im
+    f = f_re + 1j * f_im
+    if cfg.constType == "pam":
+        y = y.real
+    if squeeze:
+        return y[0], f[0], mse[0]
+    return y, f, mse

@@ -191,3 +191,29 @@ def test_dfe_pallas_fulltime_and_qam():
     y2, f2, _, _ = dfe_pallas(jnp.asarray(x), jnp.asarray(sym), cfg,
                               interpret=True)
     assert float(jnp.linalg.norm(y1 - y2) / jnp.linalg.norm(y1)) < 1e-5
+
+
+def test_ffe_pallas_matches_scan():
+    import numpy as np
+    from opticommpy_tpu.comm.modulation import gray_mapping
+    from opticommpy_tpu.dsp.equalization import FFEConfig, ffe
+    from opticommpy_tpu.kernels.dfe_pallas import ffe_pallas
+
+    rng = np.random.default_rng(2)
+    const = gray_mapping(4, "pam").real
+    sym = const[rng.integers(0, 4, size=2500)].astype(np.complex64)
+    h = np.array([0.2, 1.0, 0.25], np.complex64)
+    x = np.convolve(sym, h, "same") + 0.02 * rng.normal(size=sym.shape)
+    cfg = FFEConfig(nTaps=9, SpS=1, mu=2e-3, nTrain=1000, M=4,
+                    constType="pam")
+    y1, f1, m1 = ffe(jnp.asarray(x), jnp.asarray(sym), cfg)
+    y2, f2, m2 = ffe_pallas(jnp.asarray(x), jnp.asarray(sym), cfg,
+                            interpret=True)
+    assert float(jnp.linalg.norm(y1 - y2) / jnp.linalg.norm(y1)) < 1e-5
+    assert float(jnp.linalg.norm(f1 - f2) / jnp.linalg.norm(f1)) < 1e-5
+    # batch path: 2 rows
+    yb, fb, mb = ffe_pallas(jnp.asarray(np.stack([x, x])),
+                            jnp.asarray(np.stack([sym, sym])), cfg,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(yb[0]), np.asarray(y2),
+                               rtol=1e-5, atol=1e-6)
