@@ -34,6 +34,24 @@ BATCH = 128
 MAX_ITER = 20
 
 
+def _make_dec(g, alg):
+    """One jitted decode closure over the degree-bucketed graph arrays."""
+    bk = g["bk"]
+    cn_var = tuple(jnp.asarray(a) for a in bk["cn_var"])
+    vn_edge = tuple(jnp.asarray(a) for a in bk["vn_edge"])
+    vn_var = tuple(jnp.asarray(a) for a in bk["vn_var"])
+    var_pos = jnp.asarray(bk["var_pos"])
+
+    @jax.jit
+    def dec(llrs):
+        out, iters, fail = fec._bp_decode_bucketed_batch(
+            llrs, cn_var, vn_edge, vn_var, var_pos, MAX_ITER, alg)
+        return (jnp.mean(out) + jnp.sum(iters).astype(jnp.float32)
+                + jnp.sum(fail))
+
+    return dec
+
+
 def main():
     rng = np.random.default_rng(0)
     for n_code, dv, dc in [(1296, 3, 6), (16200, 3, 6)]:
@@ -43,14 +61,7 @@ def main():
             (2.0 + rng.normal(scale=1.2, size=(n_code, BATCH))).astype(np.float32)
         )
         for alg in ("MSA", "SPA"):
-            @jax.jit
-            def dec(llrs, alg=alg, g=g):
-                out, iters, fail = fec._bp_decode_batch(
-                    llrs, jnp.asarray(g["cn_idx"]), jnp.asarray(g["cn_mask"]),
-                    jnp.asarray(g["vn_edge"]), g["n"], MAX_ITER, alg)
-                return (jnp.mean(out) + jnp.sum(iters).astype(jnp.float32)
-                        + jnp.sum(fail))
-
+            dec = _make_dec(g, alg)
             float(dec(llrs))  # compile
             ts = []
             for _ in range(3):
@@ -74,14 +85,7 @@ def main():
             (2.0 + rng.normal(scale=1.2, size=(g["n"], b))).astype(np.float32)
         )
 
-        @jax.jit
-        def dec64800(llrs, g=g):
-            out, iters, fail = fec._bp_decode_batch(
-                llrs, jnp.asarray(g["cn_idx"]), jnp.asarray(g["cn_mask"]),
-                jnp.asarray(g["vn_edge"]), g["n"], MAX_ITER, "MSA")
-            return (jnp.mean(out) + jnp.sum(iters).astype(jnp.float32)
-                    + jnp.sum(fail))
-
+        dec64800 = _make_dec(g, "MSA")
         float(dec64800(llrs))
         ts = []
         for _ in range(3):

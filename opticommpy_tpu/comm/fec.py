@@ -11,15 +11,19 @@ TPU-native counterpart of reference ``optic/comm/fec.py``:
   a prefix-XOR = ``cumsum mod 2`` — a parallel scan instead of a sequential
   bit recurrence.
 - **Decoding** (sum-product / min-sum belief propagation, fec.py:347,505)
-  runs on a *padded edge-array* layout: messages live on a (m, dc_max) check-
-  major grid with a validity mask (replacing the reference's ragged
-  ``numba.typed.List`` CSR walk), check updates are row-wise masked
-  reductions (prefix/suffix tanh-products or min1/min2), and variable
-  updates GATHER each variable's incident edges via a precomputed inverse
-  edge map (scatter-free: batched scatter-adds crash the XLA:TPU compiler
-  on some runtimes, and gathers are faster on TPU regardless). Codewords batch on a trailing axis; early
-  stopping is realized by freezing converged codewords under a fixed
-  iteration scan (bit-identical results to per-codeword early exit).
+  runs on a *degree-bucketed edge-array* layout (replacing the reference's
+  ragged ``numba.typed.List`` CSR walk): check and variable nodes are
+  grouped by degree so every per-bucket array is exactly dense — no pads,
+  no masks (standard codes have <=5 distinct degrees per side; a uniform
+  (n, dv_max) pad wastes ~3x gather bandwidth on DVB-S2 R4/5). Check
+  updates are row-wise reductions (prefix/suffix tanh-products or
+  min1/min2), and variable updates GATHER each variable's incident edges
+  via precomputed index maps (scatter-free: batched scatter-adds crash the
+  XLA:TPU compiler on some runtimes, and gathers are faster on TPU
+  regardless). Codewords batch on a trailing axis; early stopping is
+  realized by freezing converged codewords under a fixed iteration scan
+  (bit-identical results to per-codeword early exit). A uniformly padded
+  single-bucket variant (`_bp_decode_batch`) is kept for the compat shims.
 """
 
 from dataclasses import dataclass
@@ -524,7 +528,160 @@ def ldpc_graph_from_edges(n, m, rows, cols):
         "n": n,
         "m": m,
         "dc_max": cn_idx.shape[1],
+        "bk": _bucketize(n, m, rows, cols),
     }
+
+
+def _bucketize(n, m, rows, cols):
+    """Degree-bucketed, padding-free BP graph layout.
+
+    Standard codes are degree-irregular (DVB-S2 R4/5: dv in {2,3,11}, so a
+    uniform (n, dv_max) pad wastes ~3x gather bandwidth; AR4JA wastes ~1.7x
+    on BOTH sides). Grouping nodes by degree makes every per-bucket array
+    exactly dense — no masks, no sentinel rows — at the cost of <=5 small
+    kernels per side (standard codes have <=5 distinct degrees per side).
+
+    Flat edge order = check buckets ascending by (degree, check id), each
+    check's edges ascending by variable. Returns numpy arrays:
+
+    - ``cn_var``: tuple of (m_b, d_b) canonical variable ids per check edge;
+      bucket b's messages are the flat slice of length ``m_b*d_b`` starting
+      at the previous buckets' total size (static offsets).
+    - ``vn_edge``: tuple of (n_b, d_b) flat edge positions per variable
+      (degree-0 variables form an (n_0, 0) bucket — the empty gather sums
+      to zero, so one uniform code path).
+    - ``vn_var``: tuple of (n_b,) canonical variable ids, same bucket order.
+    - ``var_pos``: (n,) position of each canonical variable in the
+      concatenation of per-bucket totals (inverse permutation gather —
+      scatter-free by construction, like the padded layout above).
+    """
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    dc = np.bincount(rows, minlength=m)
+    eorder = np.lexsort((cols, rows, dc[rows]))
+    c = cols[eorder]
+    cn_var = []
+    start = 0
+    for d in np.unique(dc):
+        if d == 0:
+            continue  # empty checks are trivially satisfied
+        n_b = int(np.count_nonzero(dc == d))
+        cnt = n_b * int(d)
+        cn_var.append(c[start:start + cnt].reshape(n_b, int(d))
+                      .astype(np.int32))
+        start += cnt
+    # variable buckets over flat edge positions
+    dv = np.bincount(c, minlength=n)
+    pos = np.arange(c.size, dtype=np.int64)
+    vorder = np.lexsort((pos, c, dv[c]))
+    vs, ps = c[vorder], pos[vorder]
+    vn_edge, vn_var = [], []
+    start = 0
+    for d in np.unique(dv):
+        ids = np.flatnonzero(dv == d).astype(np.int32)
+        if d == 0:
+            vn_edge.append(np.zeros((ids.size, 0), dtype=np.int32))
+            vn_var.append(ids)
+            continue
+        cnt = ids.size * int(d)
+        vn_edge.append(ps[start:start + cnt].reshape(ids.size, int(d))
+                       .astype(np.int32))
+        vn_var.append(vs[start:start + cnt:int(d)].astype(np.int32))
+        start += cnt
+    var_order = np.concatenate(vn_var)
+    var_pos = np.empty(n, dtype=np.int32)
+    var_pos[var_order] = np.arange(n, dtype=np.int32)
+    return {
+        "cn_var": tuple(cn_var),
+        "vn_edge": tuple(vn_edge),
+        "vn_var": tuple(vn_var),
+        "var_pos": var_pos,
+    }
+
+
+def _check_update_spa_dense(x):
+    """SPA check update on one exactly-dense (m_b, d_b) bucket."""
+    m_b = x.shape[0]
+    t = jnp.tanh(x / 2.0)
+    # leave-one-out product as exclusive prefix x suffix cumprods — O(d)
+    f = jnp.cumprod(t, axis=1)
+    fe = jnp.concatenate([jnp.ones((m_b, 1), t.dtype), f[:, :-1]], axis=1)
+    b = jnp.cumprod(t[:, ::-1], axis=1)[:, ::-1]
+    be = jnp.concatenate([b[:, 1:], jnp.ones((m_b, 1), t.dtype)], axis=1)
+    prod = jnp.clip(fe * be, -0.999999, 0.999999)
+    return 2.0 * jnp.arctanh(prod)
+
+
+def _check_update_msa_dense(x):
+    """Min-sum check update on one exactly-dense (m_b, d_b) bucket.
+
+    Same argmin-free / sign-parity formulation as the padded kernel below
+    (the argmin and sign-product forms crash the XLA:TPU compiler under
+    vmap), minus all masking.
+    """
+    mag = jnp.abs(x)
+    min1 = jnp.min(mag, axis=1, keepdims=True)
+    at_min = mag == min1
+    is_min1 = at_min & (jnp.cumsum(at_min, axis=1) == 1)
+    min2 = jnp.min(jnp.where(is_min1, jnp.inf, mag), axis=1, keepdims=True)
+    out_mag = jnp.where(is_min1, min2, min1)
+    neg = (x < 0).astype(jnp.int32)
+    others = jnp.sum(neg, axis=1, keepdims=True) - neg
+    out_sgn = (1 - 2 * (others % 2)).astype(x.dtype)
+    return out_sgn * out_mag
+
+
+def _bp_decode_bucketed(llr, cn_var, vn_edge, vn_var, var_pos, max_iter,
+                        alg):
+    """BP decode one codeword on the degree-bucketed graph. llr: (n,)."""
+    check_update = (_check_update_spa_dense if alg == "SPA"
+                    else _check_update_msa_dense)
+    sizes = [a.size for a in cn_var]
+    offs = np.concatenate([[0], np.cumsum(sizes)]).tolist()
+    edge_var_flat = jnp.concatenate([a.reshape(-1) for a in cn_var])
+
+    def iteration(carry, _):
+        flat_vc, done, final_llr, n_iters = carry
+        flat_cv = jnp.concatenate([
+            check_update(flat_vc[offs[i]:offs[i + 1]].reshape(cv.shape))
+            .reshape(-1)
+            for i, cv in enumerate(cn_var)
+        ])
+        # variable update: exactly-dense per-degree gathers
+        totals = jnp.concatenate([
+            llr[vv] + jnp.sum(flat_cv[ve], axis=1)
+            for ve, vv in zip(vn_edge, vn_var)
+        ])
+        total = totals[var_pos]  # canonical variable order (n,)
+        new_vc = total[edge_var_flat] - flat_cv
+        # parity check on hard decisions, per check bucket
+        bits = (total < 0).astype(jnp.int32)
+        ok = jnp.asarray(True)
+        for cv in cn_var:
+            ok = ok & jnp.all(jnp.sum(bits[cv], axis=1) % 2 == 0)
+        # freeze once converged (matches the reference's early exit)
+        final_llr = jnp.where(done, final_llr, total)
+        flat_vc = jnp.where(done, flat_vc, new_vc)
+        n_iters = jnp.where(done, n_iters, n_iters + 1)
+        done = done | ok
+        return (flat_vc, done, final_llr, n_iters), None
+
+    carry0 = (llr[edge_var_flat], jnp.asarray(False), llr, jnp.asarray(0))
+    (_, done, final_llr, n_iters), _ = jax.lax.scan(
+        iteration, carry0, None, length=max_iter
+    )
+    return final_llr, n_iters, ~done
+
+
+@partial(jax.jit, static_argnames=("max_iter", "alg"))
+def _bp_decode_bucketed_batch(llrs, cn_var, vn_edge, vn_var, var_pos,
+                              max_iter, alg):
+    return jax.vmap(
+        lambda l: _bp_decode_bucketed(l, cn_var, vn_edge, vn_var, var_pos,
+                                      max_iter, alg),
+        in_axes=1,
+        out_axes=(1, 0, 0),
+    )(llrs)
 
 
 def _bp_decode(llr, cn_idx, cn_mask, vn_edge, n, max_iter, alg):
@@ -622,15 +779,29 @@ def decode_ldpc(llrs, H=None, config: LDPCConfig = LDPCConfig(), graph=None):
     if n_in < n:
         llrs = jnp.pad(llrs, ((0, n - n_in), (0, 0)))
 
-    out_llr, n_iters, fail = _bp_decode_batch(
-        llrs,
-        jnp.asarray(graph["cn_idx"]),
-        jnp.asarray(graph["cn_mask"]),
-        jnp.asarray(graph["vn_edge"]),
-        n,
-        int(config.maxIter),
-        config.alg,
-    )
+    bk = graph.get("bk")
+    if bk is not None:
+        # degree-bucketed padding-free layout (1.7-3x less gather traffic
+        # than the uniform pad on DVB-S2/AR4JA/802.11n degree profiles)
+        out_llr, n_iters, fail = _bp_decode_bucketed_batch(
+            llrs,
+            tuple(jnp.asarray(a) for a in bk["cn_var"]),
+            tuple(jnp.asarray(a) for a in bk["vn_edge"]),
+            tuple(jnp.asarray(a) for a in bk["vn_var"]),
+            jnp.asarray(bk["var_pos"]),
+            int(config.maxIter),
+            config.alg,
+        )
+    else:
+        out_llr, n_iters, fail = _bp_decode_batch(
+            llrs,
+            jnp.asarray(graph["cn_idx"]),
+            jnp.asarray(graph["cn_mask"]),
+            jnp.asarray(graph["vn_edge"]),
+            n,
+            int(config.maxIter),
+            config.alg,
+        )
     if n_in < n:
         out_llr = out_llr[:n_in]
     decoded = (out_llr < 0).astype(jnp.int8)

@@ -261,3 +261,58 @@ def test_ldpc_graph_from_edges_matches_dense():
     for k in ("cn_idx", "cn_mask", "edge_var", "vn_edge"):
         np.testing.assert_array_equal(g1[k], g2[k])
     assert g1["dc_max"] == g2["dc_max"]
+
+def test_bucketed_bp_matches_padded_on_irregular_code():
+    """Degree-bucketed BP == uniformly padded BP (bits, iters, failures)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from opticommpy_tpu.comm import fec
+
+    # irregular degree profile: dv in {1,2,3}, dc in {2,3,4}
+    rng = np.random.default_rng(3)
+    n, m = 48, 24
+    H = gallager_ldpc(n, 3, 6, seed=3)
+    # knock out random edges to make the degrees irregular
+    rows, cols = np.nonzero(H)
+    drop = rng.random(rows.size) < 0.3
+    H = H.copy()
+    H[rows[drop], cols[drop]] = 0
+    g = fec.ldpc_graph(H)
+    assert len(g["bk"]["cn_var"]) > 1 and len(g["bk"]["vn_edge"]) > 1
+
+    llr = (1.5 + rng.normal(scale=1.2, size=(n, 8))).astype(np.float32)
+    for alg in ("MSA", "SPA"):
+        o1, it1, f1 = fec._bp_decode_batch(
+            jnp.asarray(llr), jnp.asarray(g["cn_idx"]),
+            jnp.asarray(g["cn_mask"]), jnp.asarray(g["vn_edge"]),
+            n, 15, alg)
+        bk = g["bk"]
+        o2, it2, f2 = fec._bp_decode_bucketed_batch(
+            jnp.asarray(llr),
+            tuple(jnp.asarray(a) for a in bk["cn_var"]),
+            tuple(jnp.asarray(a) for a in bk["vn_edge"]),
+            tuple(jnp.asarray(a) for a in bk["vn_var"]),
+            jnp.asarray(bk["var_pos"]), 15, alg)
+        np.testing.assert_array_equal(np.asarray(it1), np.asarray(it2))
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_array_equal(np.asarray(o1 < 0), np.asarray(o2 < 0))
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   atol=5e-3)
+
+
+def test_bucketed_graph_handles_isolated_variables():
+    """Degree-0 variables decode to their channel LLR (empty gather path)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from opticommpy_tpu.comm import fec
+
+    H = gallager_ldpc(24, 3, 6, seed=5).copy()
+    H[:, 7] = 0  # isolate variable 7
+    g = fec.ldpc_graph(H)
+    llr = np.full((24, 2), 4.0, dtype=np.float32)
+    llr[7] = -1.25
+    dec, out, fail = fec.decode_ldpc(jnp.asarray(llr), graph=g,
+                                     config=fec.LDPCConfig(maxIter=5,
+                                                           alg="MSA"))
+    np.testing.assert_allclose(np.asarray(out)[7], -1.25)
+    assert np.all(np.asarray(dec)[7] == 1)
