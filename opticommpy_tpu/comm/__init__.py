@@ -3,7 +3,7 @@
 TPU-native counterpart of the reference ``optic/comm`` package.
 """
 
-from opticommpy_tpu.comm import fec, metrics, modulation, ofdm, sources  # noqa: F401
+from opticommpy_tpu.comm import codes, fec, metrics, modulation, ofdm, sources  # noqa: F401
 from opticommpy_tpu.comm.modulation import (  # noqa: F401
     bit_map,
     demap,

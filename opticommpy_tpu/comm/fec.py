@@ -42,6 +42,7 @@ __all__ = [
     "triang_p1p2",
     "ldpc_graph",
     "ldpc_graph_from_edges",
+    "standard_ldpc",
     "encode_ldpc",
     "decode_ldpc",
     "read_alist",
@@ -427,21 +428,37 @@ def _gf2_matvec_sparse(idx, mask, bits):
     return jnp.sum(gathered, axis=1) % 2
 
 
+def _dvbs2_encoder_support(n, m, rows, cols):
+    """Row-sparse (idx, mask) of the info part A = H[:, :k] from edges."""
+    k = n - m
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    sel = cols < k
+    r, c = rows[sel], cols[sel]
+    order = np.lexsort((c, r))
+    return _padded_rows(r[order], c[order], m)
+
+
 def encode_ldpc(bits, H=None, config: LDPCConfig = LDPCConfig(), G=None,
-                P1=None, P2=None):
+                P1=None, P2=None, edges=None):
     """Encode (k, N) bit columns into (n, N) codewords (reference fec.py:153).
 
     - mode 'DVBS2': parity = prefix-XOR of A@u where A = H[:, :k]
       (the reference's sequential recursion fec.py:295-297 becomes
-      ``cumsum mod 2`` — a parallel scan).
+      ``cumsum mod 2`` — a parallel scan). Pass ``edges=(n, m, rows, cols)``
+      (e.g. from :func:`standard_ldpc`) to skip the dense H detour — at
+      DVB-S2 64800b the dense A alone is ~2 GB.
     - mode 'triang': codeword = [u, P1@u, P2@u].
     - mode 'G': codeword = G^T u (systematic).
     """
     bits = jnp.asarray(bits).astype(jnp.int32)
     if config.mode == "DVBS2":
-        H = _dense(H)
-        k = H.shape[1] - H.shape[0]
-        idx, mask = _sparse_rows(H[:, :k])
+        if edges is not None:
+            idx, mask = _dvbs2_encoder_support(*edges)
+        else:
+            H = _dense(H)
+            k = H.shape[1] - H.shape[0]
+            idx, mask = _sparse_rows(H[:, :k])
         parity = _gf2_matvec_sparse(jnp.asarray(idx), jnp.asarray(mask), bits)
         parity = jnp.cumsum(parity, axis=0) % 2  # recursive accumulation
         return jnp.concatenate([bits, parity], axis=0).astype(jnp.int8)
@@ -530,6 +547,24 @@ def ldpc_graph_from_edges(n, m, rows, cols):
         "dc_max": cn_idx.shape[1],
         "bk": _bucketize(n, m, rows, cols),
     }
+
+
+def standard_ldpc(mode="DVBS2", n=64800, R="4/5"):
+    """Decoding graph + sparse support for a built-in standard code.
+
+    Self-contained replacement for the reference's ALIST data distribution
+    (fec.py:197, 39 MB of files): H is constructed from the standard's own
+    compact tables (:mod:`opticommpy_tpu.comm.codes`). Same (mode, n, R)
+    naming as the reference's filename scheme.
+
+    Returns ``(graph, edges)``: pass ``graph=`` to :func:`decode_ldpc` and
+    ``edges=`` to :func:`encode_ldpc` (DVBS2 mode), or densify ``edges`` for
+    the triangular/generator encoders.
+    """
+    from opticommpy_tpu.comm.codes import ldpc_edges
+
+    edges = ldpc_edges(mode=mode, n=n, R=R)
+    return ldpc_graph_from_edges(*edges), edges
 
 
 def _bucketize(n, m, rows, cols):

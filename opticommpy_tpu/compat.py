@@ -297,10 +297,32 @@ encodeHamming = lambda bits, param: _fec.encode_hamming(
 
 
 def encodeLDPC(bits, param):
+    """LDPC encode dispatch (reference fec.py:153).
+
+    Where the reference loads H from its shipped ALIST files by
+    (mode, n, R) filename (fec.py:197), a missing ``param.H`` here is
+    CONSTRUCTED from the standard's tables (comm/codes.py) — no data files.
+    """
     mode = getattr(param, "mode", "DVBS2")
     H = getattr(param, "H", None)
     if mode == "DVBS2":
+        if H is None:
+            from opticommpy_tpu.comm.codes import ldpc_edges
+
+            edges = ldpc_edges(mode="DVBS2", n=getattr(param, "n", 64800),
+                               R=getattr(param, "R", "4/5"))
+            return _fec.encode_ldpc(bits, edges=edges,
+                                    config=_fec.LDPCConfig(mode="DVBS2"))
         return _fec.encode_ldpc(bits, H=H, config=_fec.LDPCConfig(mode="DVBS2"))
+    if H is None:
+        from opticommpy_tpu.comm.codes import ldpc_parity_matrix
+
+        H = ldpc_parity_matrix(mode=mode, n=getattr(param, "n", 648),
+                               R=getattr(param, "R", "1/2"))
+        try:
+            param.H = H
+        except AttributeError:
+            pass
     P1 = getattr(param, "P1", None)
     P2 = getattr(param, "P2", None)
     if P1 is not None:
@@ -311,8 +333,14 @@ def encodeLDPC(bits, param):
 
 
 def decodeLDPC(llrs, param):
+    H = getattr(param, "H", None)
+    graph = None
+    if H is None:
+        graph, _ = _fec.standard_ldpc(
+            mode=getattr(param, "mode", "DVBS2"),
+            n=getattr(param, "n", 64800), R=getattr(param, "R", "4/5"))
     return _fec.decode_ldpc(
-        llrs, H=getattr(param, "H", None),
+        llrs, H=H, graph=graph,
         config=_fec.LDPCConfig(
             maxIter=getattr(param, "maxIter", 25),
             alg=getattr(param, "alg", "SPA"),
