@@ -1,4 +1,4 @@
-"""Pallas TPU kernel for the 2x2 MIMO adaptive equalizer recurrence.
+"""Pallas TPU kernels for the NxN MIMO adaptive equalizer recurrence.
 
 The adaptive equalizer is the framework's hardest kernel (SURVEY.md §7): a
 true per-symbol recurrence (the taps updated at symbol k feed symbol k+1), so
@@ -43,7 +43,7 @@ __all__ = ["mimo_lms_pallas", "mimo_eq_pallas", "mimo_eq_pallas_batch"]
 def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
             aux_ref, h0_re_ref, h0_im_ref, out_re_ref, out_im_ref,
             hout_re_ref, hout_im_ref, h_re, h_im, *, block, width, mu,
-            n_train, m_const, alg, m_aux, qam_grid=None):
+            n_train, m_const, alg, m_aux, n_modes=2, qam_grid=None):
     """Grid step over symbol blocks; H carried in VMEM scratch across steps."""
     b = pl.program_id(0)
 
@@ -55,16 +55,16 @@ def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
     def body(i, _):
         w_re = win_re_ref[i, :]  # (width,) flattened taps x modes
         w_im = win_im_ref[i, :]
-        # filter outputs for both output modes: o = sum(H[o] * w) (complex)
-        hr = h_re[...]  # (2, width)
+        # filter outputs for all output modes: o = sum(H[o] * w) (complex)
+        hr = h_re[...]  # (n_modes, width)
         hi = h_im[...]
-        o_re = jnp.sum(hr * w_re[None, :] - hi * w_im[None, :], axis=1)  # (2,)
+        o_re = jnp.sum(hr * w_re[None, :] - hi * w_im[None, :], axis=1)
         o_im = jnp.sum(hr * w_im[None, :] + hi * w_re[None, :], axis=1)
 
         if alg in ("lms", "nlms"):
             k_global = b * block + i
             # reference: data-aided before n_train, decision-directed after
-            r_re = ref_re_ref[i, :]  # (2,)
+            r_re = ref_re_ref[i, :]  # (n_modes,)
             r_im = ref_im_ref[i, :]
             if qam_grid is not None:
                 # uniform square grid: the nearest point factorizes per
@@ -81,12 +81,13 @@ def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
             else:
                 d2 = (o_re[:, None] - cr_ref[0, :][None, :]) ** 2 + (
                     o_im[:, None] - ci_ref[0, :][None, :]
-                ) ** 2  # (2, M)
+                ) ** 2  # (n_modes, M)
                 # nearest constellation point via min-mask reduction (Mosaic
                 # supports only 2-D gathers; an argmin-indexed 1-D gather
                 # fails to lower)
-                ind = jnp.argmin(d2, axis=1)  # (2,)
-                cols = jax.lax.broadcasted_iota(jnp.int32, (2, m_const), 1)
+                ind = jnp.argmin(d2, axis=1)  # (n_modes,)
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, (n_modes, m_const), 1)
                 sel = (cols == ind[:, None]).astype(jnp.float32)
                 dec_re = jnp.sum(sel * cr_ref[0, :][None, :], axis=1)
                 dec_im = jnp.sum(sel * ci_ref[0, :][None, :], axis=1)
@@ -97,15 +98,15 @@ def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
             e_im = t_im - o_im
         elif alg == "cma":
             # e = (R - |y|^2) * y ; R in aux_ref[0, 0]
-            err = aux_ref[0, 0] - (o_re**2 + o_im**2)  # (2,)
+            err = aux_ref[0, 0] - (o_re**2 + o_im**2)  # (n_modes,)
             e_re = err * o_re
             e_im = err * o_im
         elif alg == "rde":
             # nearest radius among aux_ref[0, :] (constellation radii)
-            r = jnp.sqrt(o_re**2 + o_im**2)  # (2,)
-            d2 = (r[:, None] - aux_ref[0, :][None, :]) ** 2  # (2, m_aux)
+            r = jnp.sqrt(o_re**2 + o_im**2)  # (n_modes,)
+            d2 = (r[:, None] - aux_ref[0, :][None, :]) ** 2  # (n_modes, m_aux)
             ind = jnp.argmin(d2, axis=1)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (2, m_aux), 1)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (n_modes, m_aux), 1)
             sel = (cols == ind[:, None]).astype(jnp.float32)
             r_dec = jnp.sum(sel * aux_ref[0, :][None, :], axis=1)
             err = r_dec**2 - (o_re**2 + o_im**2)
@@ -117,12 +118,14 @@ def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
         # rank-1 gradient update: H[o] += mu * e[o] * conj(w)
         if alg == "nlms":
             # normalize by the per-input-mode window power (reference
-            # nlmsUp equalization.py:519): lanes alternate mode0/mode1
+            # nlmsUp equalization.py:519): lane l belongs to input mode
+            # l % n_modes (flattened taps x modes layout)
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)[0, :]
-            m0 = (lane % 2 == 0).astype(jnp.float32)
-            p_mode = m0 * jnp.sum((w_re**2 + w_im**2) * m0) + (1.0 - m0) * (
-                jnp.sum((w_re**2 + w_im**2) * (1.0 - m0))
-            )  # (width,) power of the mode owning each lane
+            pw = w_re**2 + w_im**2
+            p_mode = jnp.zeros_like(pw)
+            for mm in range(n_modes):  # static unroll, n_modes small
+                msk = (lane % n_modes == mm).astype(jnp.float32)
+                p_mode = p_mode + msk * jnp.sum(pw * msk)
             # zero-padded tail windows have zero power — guard the division
             # (the numerator is zero there, so the update is a no-op)
             p_mode = jnp.maximum(p_mode, 1e-12)
@@ -154,20 +157,21 @@ def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
 def _mimo_eq_run(sig_re, sig_im, ref_re, ref_im, const_re, const_im, aux,
                  h0_re, h0_im, n_taps, sps, mu, n_train, block=1024,
                  alg="lms", qam_grid=None, interpret=False):
-    """sig_*: (N, 2) f32 at sps samples/symbol; ref_*: (nSym, 2) f32."""
+    """sig_*: (N, n_modes) f32 at sps samples/symbol; ref_*: (nSym, n_modes)."""
     from jax.experimental.pallas import tpu as pltpu
 
+    n_modes = sig_re.shape[1]
     n_sym = ref_re.shape[0]
     n_blocks = int(np.ceil(n_sym / block))
     n_pad_sym = n_blocks * block
     l_pad = n_taps // 2
-    width = 2 * n_taps  # flattened (taps, modes)
+    width = n_modes * n_taps  # flattened (taps, modes)
 
     def windows(x):
         xp = jnp.pad(x, ((l_pad, l_pad + sps + n_taps + n_pad_sym * sps
                           - x.shape[0]), (0, 0)))
         idx = np.arange(n_pad_sym)[:, None] * sps + np.arange(n_taps)[None, :]
-        w = xp[jnp.asarray(idx)]  # (n_pad_sym, taps, 2)
+        w = xp[jnp.asarray(idx)]  # (n_pad_sym, taps, n_modes)
         return w.reshape(n_pad_sym, width)
 
     w_re = windows(sig_re)
@@ -179,36 +183,36 @@ def _mimo_eq_run(sig_re, sig_im, ref_re, ref_im, const_re, const_im, aux,
 
     kernel = partial(_kernel, block=block, width=width, mu=mu,
                      n_train=n_train, m_const=m_const, alg=alg, m_aux=m_aux,
-                     qam_grid=qam_grid)
+                     n_modes=n_modes, qam_grid=qam_grid)
     out_re, out_im, h_re, h_im = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((block, width), lambda i: (i, 0)),
             pl.BlockSpec((block, width), lambda i: (i, 0)),
-            pl.BlockSpec((block, 2), lambda i: (i, 0)),
-            pl.BlockSpec((block, 2), lambda i: (i, 0)),
+            pl.BlockSpec((block, n_modes), lambda i: (i, 0)),
+            pl.BlockSpec((block, n_modes), lambda i: (i, 0)),
             pl.BlockSpec((1, m_const), lambda i: (0, 0)),
             pl.BlockSpec((1, m_const), lambda i: (0, 0)),
             pl.BlockSpec((1, m_aux), lambda i: (0, 0)),
-            pl.BlockSpec((2, width), lambda i: (0, 0)),
-            pl.BlockSpec((2, width), lambda i: (0, 0)),
+            pl.BlockSpec((n_modes, width), lambda i: (0, 0)),
+            pl.BlockSpec((n_modes, width), lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((block, 2), lambda i: (i, 0)),
-            pl.BlockSpec((block, 2), lambda i: (i, 0)),
-            pl.BlockSpec((2, width), lambda i: (0, 0)),
-            pl.BlockSpec((2, width), lambda i: (0, 0)),
+            pl.BlockSpec((block, n_modes), lambda i: (i, 0)),
+            pl.BlockSpec((block, n_modes), lambda i: (i, 0)),
+            pl.BlockSpec((n_modes, width), lambda i: (0, 0)),
+            pl.BlockSpec((n_modes, width), lambda i: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad_sym, 2), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad_sym, 2), jnp.float32),
-            jax.ShapeDtypeStruct((2, width), jnp.float32),
-            jax.ShapeDtypeStruct((2, width), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad_sym, n_modes), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad_sym, n_modes), jnp.float32),
+            jax.ShapeDtypeStruct((n_modes, width), jnp.float32),
+            jax.ShapeDtypeStruct((n_modes, width), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, width), jnp.float32),
-            pltpu.VMEM((2, width), jnp.float32),
+            pltpu.VMEM((n_modes, width), jnp.float32),
+            pltpu.VMEM((n_modes, width), jnp.float32),
         ],
         interpret=interpret,
     )(w_re, w_im, rp_re, rp_im, const_re[None, :], const_im[None, :],
@@ -218,30 +222,32 @@ def _mimo_eq_run(sig_re, sig_im, ref_re, ref_im, const_re, const_im, aux,
 
 def mimo_eq_pallas(sig, symb_ref, const, alg="lms", n_taps=15, sps=2, mu=2e-3,
                    n_train=10000, block=1024, H0=None, interpret=False):
-    """Pallas 2x2 adaptive equalizer with selectable update rule.
+    """Pallas NxN adaptive equalizer with selectable update rule.
 
     ``alg``: 'lms' (data-aided -> decision-directed), 'nlms' (normalized),
     'cma' (blind constant-modulus), 'rde' (blind radius-directed). Parameters
     mirror :func:`opticommpy_tpu.dsp.mimo_adapt_equalizer`. For the blind
-    rules ``symb_ref`` may be None. Returns (equalized symbols (nSym, 2)
-    complex, tap tensor H (2, 2, n_taps)).
+    rules ``symb_ref`` may be None. The mode count is taken from
+    ``sig.shape[1]`` (2 = polmux, 4+ = SDM; the reference equalizer is NxN,
+    equalization.py:125). Returns (equalized symbols (nSym, n_modes)
+    complex, tap tensor H (n_modes, n_modes, n_taps)).
     """
     sig_re, sig_im = split_ri(sig)  # no complex host->device transfer
     const = np.asarray(const).astype(np.complex64)
+    n_modes = sig_re.shape[1]
     if symb_ref is None:
         if alg in ("lms", "nlms"):
             raise ValueError("symb_ref is required for alg='lms'/'nlms'")
         n_sym = sig_re.shape[0] // sps
-        ref_re = ref_im = jnp.zeros((n_sym, 2), dtype=jnp.float32)
+        ref_re = ref_im = jnp.zeros((n_sym, n_modes), dtype=jnp.float32)
     else:
         ref_re, ref_im = split_ri(symb_ref)
     if H0 is None:
-        h0 = np.zeros((2, 2, n_taps), dtype=np.complex64)
-        h0[0, 0, n_taps // 2] = 1.0
-        h0[1, 1, n_taps // 2] = 1.0
+        h0 = np.zeros((n_modes, n_modes, n_taps), dtype=np.complex64)
+        h0[np.arange(n_modes), np.arange(n_modes), n_taps // 2] = 1.0
     else:
         h0 = np.asarray(H0).astype(np.complex64)
-    h0_flat = h0.transpose(0, 2, 1).reshape(2, 2 * n_taps)  # (o, taps*modes)
+    h0_flat = h0.transpose(0, 2, 1).reshape(n_modes, n_modes * n_taps)
 
     # rule-specific host constants (reference cmaUp:788 / rdeUp:846)
     if alg == "cma":
@@ -261,7 +267,7 @@ def mimo_eq_pallas(sig, symb_ref, const, alg="lms", n_taps=15, sps=2, mu=2e-3,
         qam_grid, bool(interpret),
     )
     y = out_re + 1j * out_im
-    h = (h_re + 1j * h_im).reshape(2, n_taps, 2).transpose(0, 2, 1)
+    h = (h_re + 1j * h_im).reshape(n_modes, n_taps, n_modes).transpose(0, 2, 1)
     return y, h
 
 
@@ -284,7 +290,7 @@ def _kernel_batch(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref,
                   ci_ref, aux_ref, h0_re_ref, h0_im_ref, out_re_ref,
                   out_im_ref, hout_re_ref, hout_im_ref, h_re, h_im, *,
                   block, n_batch, width, mu, n_train, m_const, alg, m_aux,
-                  qam_grid=None):
+                  n_modes=2, qam_grid=None):
     """Grid step over symbol blocks; per-signal H tensors in VMEM scratch.
 
     Identical math to :func:`_kernel` for every signal — the batch rides the
@@ -303,14 +309,14 @@ def _kernel_batch(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref,
     def body(i, _):
         w_re = win_re_ref[i]  # (n_batch, width)
         w_im = win_im_ref[i]
-        hr = h_re[...]  # (2, n_batch, width)
+        hr = h_re[...]  # (n_modes, n_batch, width)
         hi = h_im[...]
-        o_re = jnp.sum(hr * w_re[None] - hi * w_im[None], axis=-1)  # (2, B)
+        o_re = jnp.sum(hr * w_re[None] - hi * w_im[None], axis=-1)
         o_im = jnp.sum(hr * w_im[None] + hi * w_re[None], axis=-1)
 
         if alg in ("lms", "nlms"):
             k_global = b * block + i
-            r_re = ref_re_ref[i]  # (2, B)
+            r_re = ref_re_ref[i]  # (n_modes, B)
             r_im = ref_im_ref[i]
             if qam_grid is not None:
                 lo, step, n_lev = qam_grid
@@ -325,9 +331,9 @@ def _kernel_batch(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref,
             else:
                 d2 = (o_re[..., None] - cr_ref[0, :][None, None, :]) ** 2 + (
                     o_im[..., None] - ci_ref[0, :][None, None, :]) ** 2
-                ind = jnp.argmin(d2, axis=-1)  # (2, B)
+                ind = jnp.argmin(d2, axis=-1)  # (n_modes, B)
                 cols = jax.lax.broadcasted_iota(
-                    jnp.int32, (2, n_batch, m_const), 2)
+                    jnp.int32, (n_modes, n_batch, m_const), 2)
                 sel = (cols == ind[..., None]).astype(jnp.float32)
                 dec_re = jnp.sum(sel * cr_ref[0, :][None, None, :], axis=-1)
                 dec_im = jnp.sum(sel * ci_ref[0, :][None, None, :], axis=-1)
@@ -337,14 +343,15 @@ def _kernel_batch(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref,
             e_re = t_re - o_re
             e_im = t_im - o_im
         elif alg == "cma":
-            err = aux_ref[0, 0] - (o_re**2 + o_im**2)  # (2, B)
+            err = aux_ref[0, 0] - (o_re**2 + o_im**2)  # (n_modes, B)
             e_re = err * o_re
             e_im = err * o_im
         elif alg == "rde":
-            r = jnp.sqrt(o_re**2 + o_im**2)  # (2, B)
+            r = jnp.sqrt(o_re**2 + o_im**2)  # (n_modes, B)
             d2 = (r[..., None] - aux_ref[0, :][None, None, :]) ** 2
             ind = jnp.argmin(d2, axis=-1)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (2, n_batch, m_aux), 2)
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (n_modes, n_batch, m_aux), 2)
             sel = (cols == ind[..., None]).astype(jnp.float32)
             r_dec = jnp.sum(sel * aux_ref[0, :][None, None, :], axis=-1)
             err = r_dec**2 - (o_re**2 + o_im**2)
@@ -355,11 +362,13 @@ def _kernel_batch(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref,
 
         if alg == "nlms":
             lane = jax.lax.broadcasted_iota(jnp.int32, (n_batch, width), 1)
-            m0 = (lane % 2 == 0).astype(jnp.float32)
             pw = w_re**2 + w_im**2
-            p0 = jnp.sum(pw * m0, axis=-1, keepdims=True)  # (B, 1)
-            p1 = jnp.sum(pw * (1.0 - m0), axis=-1, keepdims=True)
-            p_mode = jnp.maximum(m0 * p0 + (1.0 - m0) * p1, 1e-12)
+            p_mode = jnp.zeros_like(pw)
+            for mm in range(n_modes):  # static unroll, n_modes small
+                msk = (lane % n_modes == mm).astype(jnp.float32)
+                p_mode = p_mode + msk * jnp.sum(pw * msk, axis=-1,
+                                                keepdims=True)
+            p_mode = jnp.maximum(p_mode, 1e-12)
             g_re = w_re / p_mode
             g_im = w_im / p_mode
         else:
@@ -388,72 +397,72 @@ def _kernel_batch(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref,
 def _mimo_eq_run_batch(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
                        aux, h0_re, h0_im, n_taps, sps, mu, n_train,
                        block=256, alg="lms", qam_grid=None, interpret=False):
-    """sig_*: (B, N, 2) f32 planes; ref_*: (B, nSym, 2); h0_*: (B, 2, width)."""
+    """sig_*: (B, N, n_modes) f32 planes; ref_*: (B, nSym, n_modes)."""
     from jax.experimental.pallas import tpu as pltpu
 
-    n_batch, _, _ = sig_re.shape
+    n_batch, _, n_modes = sig_re.shape
     n_sym = ref_re.shape[1]
     n_blocks = int(np.ceil(n_sym / block))
     n_pad_sym = n_blocks * block
     l_pad = n_taps // 2
-    width = 2 * n_taps
+    width = n_modes * n_taps
 
     def windows(x):  # (B, N, 2) -> (n_pad_sym, B, width)
         xp = jnp.pad(x, ((0, 0), (l_pad, l_pad + sps + n_taps
                                   + n_pad_sym * sps - x.shape[1]), (0, 0)))
         idx = np.arange(n_pad_sym)[:, None] * sps + np.arange(n_taps)[None, :]
-        w = xp[:, jnp.asarray(idx)]  # (B, n_pad_sym, taps, 2)
+        w = xp[:, jnp.asarray(idx)]  # (B, n_pad_sym, taps, n_modes)
         return w.reshape(n_batch, n_pad_sym, width).transpose(1, 0, 2)
 
     w_re = windows(sig_re)
     w_im = windows(sig_im)
-    # refs to (n_pad_sym, 2, B): mode on sublanes, batch on lanes
+    # refs to (n_pad_sym, n_modes, B): mode on sublanes, batch on lanes
     rp_re = jnp.pad(ref_re, ((0, 0), (0, n_pad_sym - n_sym), (0, 0)))
     rp_im = jnp.pad(ref_im, ((0, 0), (0, n_pad_sym - n_sym), (0, 0)))
     rp_re = rp_re.transpose(1, 2, 0)
     rp_im = rp_im.transpose(1, 2, 0)
-    h0_re = h0_re.transpose(1, 0, 2)  # (2, B, width)
+    h0_re = h0_re.transpose(1, 0, 2)  # (n_modes, B, width)
     h0_im = h0_im.transpose(1, 0, 2)
     m_const = int(const_re.shape[0])
     m_aux = int(aux.shape[0])
 
     kernel = partial(_kernel_batch, block=block, n_batch=n_batch, width=width,
                      mu=mu, n_train=n_train, m_const=m_const, alg=alg,
-                     m_aux=m_aux, qam_grid=qam_grid)
+                     m_aux=m_aux, n_modes=n_modes, qam_grid=qam_grid)
     out_re, out_im, h_re, h_im = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((block, n_batch, width), lambda i: (i, 0, 0)),
             pl.BlockSpec((block, n_batch, width), lambda i: (i, 0, 0)),
-            pl.BlockSpec((block, 2, n_batch), lambda i: (i, 0, 0)),
-            pl.BlockSpec((block, 2, n_batch), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block, n_modes, n_batch), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block, n_modes, n_batch), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, m_const), lambda i: (0, 0)),
             pl.BlockSpec((1, m_const), lambda i: (0, 0)),
             pl.BlockSpec((1, m_aux), lambda i: (0, 0)),
-            pl.BlockSpec((2, n_batch, width), lambda i: (0, 0, 0)),
-            pl.BlockSpec((2, n_batch, width), lambda i: (0, 0, 0)),
+            pl.BlockSpec((n_modes, n_batch, width), lambda i: (0, 0, 0)),
+            pl.BlockSpec((n_modes, n_batch, width), lambda i: (0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((block, 2, n_batch), lambda i: (i, 0, 0)),
-            pl.BlockSpec((block, 2, n_batch), lambda i: (i, 0, 0)),
-            pl.BlockSpec((2, n_batch, width), lambda i: (0, 0, 0)),
-            pl.BlockSpec((2, n_batch, width), lambda i: (0, 0, 0)),
+            pl.BlockSpec((block, n_modes, n_batch), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block, n_modes, n_batch), lambda i: (i, 0, 0)),
+            pl.BlockSpec((n_modes, n_batch, width), lambda i: (0, 0, 0)),
+            pl.BlockSpec((n_modes, n_batch, width), lambda i: (0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad_sym, 2, n_batch), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad_sym, 2, n_batch), jnp.float32),
-            jax.ShapeDtypeStruct((2, n_batch, width), jnp.float32),
-            jax.ShapeDtypeStruct((2, n_batch, width), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad_sym, n_modes, n_batch), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad_sym, n_modes, n_batch), jnp.float32),
+            jax.ShapeDtypeStruct((n_modes, n_batch, width), jnp.float32),
+            jax.ShapeDtypeStruct((n_modes, n_batch, width), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, n_batch, width), jnp.float32),
-            pltpu.VMEM((2, n_batch, width), jnp.float32),
+            pltpu.VMEM((n_modes, n_batch, width), jnp.float32),
+            pltpu.VMEM((n_modes, n_batch, width), jnp.float32),
         ],
         interpret=interpret,
     )(w_re, w_im, rp_re, rp_im, const_re[None, :], const_im[None, :],
       aux[None, :], h0_re, h0_im)
-    # (n_pad_sym, 2, B) -> (B, n_sym, 2); (2, B, width) -> (B, 2, width)
+    # (n_pad_sym, M, B) -> (B, n_sym, M); (M, B, width) -> (B, M, width)
     out_re = out_re[:n_sym].transpose(2, 0, 1)
     out_im = out_im[:n_sym].transpose(2, 0, 1)
     return out_re, out_im, h_re.transpose(1, 0, 2), h_im.transpose(1, 0, 2)
@@ -462,7 +471,7 @@ def _mimo_eq_run_batch(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
 def mimo_eq_pallas_batch(sig, symb_ref, const, alg="lms", n_taps=15, sps=2,
                          mu=2e-3, n_train=10000, block=256, H0=None,
                          interpret=False):
-    """Batched Pallas 2x2 adaptive equalizer: B signals in one kernel pass.
+    """Batched Pallas NxN adaptive equalizer: B signals in one kernel pass.
 
     Same per-signal math as :func:`mimo_eq_pallas` (each signal's recurrence
     is independent), with the batch packed on the vector sublane axis — the
@@ -480,21 +489,22 @@ def mimo_eq_pallas_batch(sig, symb_ref, const, alg="lms", n_taps=15, sps=2,
     """
     sig_re, sig_im = split_ri(sig)
     const = np.asarray(const).astype(np.complex64)
-    n_batch = sig_re.shape[0]
+    n_batch, _, n_modes = sig_re.shape
     if symb_ref is None:
         if alg in ("lms", "nlms"):
             raise ValueError("symb_ref is required for alg='lms'/'nlms'")
         n_sym = sig_re.shape[1] // sps
-        ref_re = ref_im = jnp.zeros((n_batch, n_sym, 2), dtype=jnp.float32)
+        ref_re = ref_im = jnp.zeros((n_batch, n_sym, n_modes),
+                                    dtype=jnp.float32)
     else:
         ref_re, ref_im = split_ri(symb_ref)
     if H0 is None:
-        h0 = np.zeros((n_batch, 2, 2, n_taps), dtype=np.complex64)
-        h0[:, 0, 0, n_taps // 2] = 1.0
-        h0[:, 1, 1, n_taps // 2] = 1.0
+        h0 = np.zeros((n_batch, n_modes, n_modes, n_taps), dtype=np.complex64)
+        h0[:, np.arange(n_modes), np.arange(n_modes), n_taps // 2] = 1.0
     else:
         h0 = np.asarray(H0).astype(np.complex64)
-    h0_flat = h0.transpose(0, 1, 3, 2).reshape(n_batch, 2, 2 * n_taps)
+    h0_flat = h0.transpose(0, 1, 3, 2).reshape(n_batch, n_modes,
+                                               n_modes * n_taps)
 
     if alg == "cma":
         r_cma = np.mean(np.abs(const) ** 4) / np.mean(np.abs(const) ** 2)
@@ -513,5 +523,6 @@ def mimo_eq_pallas_batch(sig, symb_ref, const, alg="lms", n_taps=15, sps=2,
         qam_grid, bool(interpret),
     )
     y = out_re + 1j * out_im
-    h = (h_re + 1j * h_im).reshape(n_batch, 2, n_taps, 2).transpose(0, 1, 3, 2)
+    h = (h_re + 1j * h_im).reshape(n_batch, n_modes, n_taps,
+                                   n_modes).transpose(0, 1, 3, 2)
     return y, h

@@ -193,3 +193,77 @@ def test_batched_kernel_custom_h0_and_odd_length():
     assert y.shape == (b, n_sym, 2)
     assert h.shape == (b, 2, 2, n_taps)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def _qam_modes(key, n_sym, n_modes, sps=2):
+    """n_modes-mode 16QAM signal (SDM shape) + symbols."""
+    symb = pnorm(modulate_gray(
+        jax.random.randint(key, (n_sym * 4 * n_modes,), 0, 2), 16, "qam"
+    ).reshape(n_sym, n_modes))
+    pulse = jnp.asarray(pulse_shape("rrc", sps, 256, 0.1))
+    sig = pnorm(fir_filter(pulse, upsample(symb, sps)))
+    return sig, symb
+
+
+def test_pallas_4x4_matches_scan_ddlms():
+    """NxN generalization (VERDICT r1 item 4): 4x4 must equal the scan."""
+    from opticommpy_tpu.kernels.mimo_pallas import mimo_eq_pallas
+
+    key = jax.random.PRNGKey(11)
+    sig, symb = _qam_modes(key, 2000, n_modes=4)
+    const = _norm_const()
+    y_pl, H_pl = mimo_eq_pallas(sig, symb, const, alg="lms", n_taps=7, sps=2,
+                                mu=1e-3, n_train=0, block=512, interpret=True)
+    assert y_pl.shape == (2000, 4) and H_pl.shape == (4, 4, 7)
+    cfg = MIMOEqualizerConfig(nTaps=7, mu=(1e-3,), SpS=2, alg=("dd-lms",),
+                              M=16)
+    y_sc, H_sc, _, _, _ = mimo_adapt_equalizer(sig, cfg, symb_ref=symb,
+                                               return_results=True)
+    n = min(y_pl.shape[0], y_sc.shape[0])
+    assert np.allclose(np.asarray(y_pl)[:n], np.asarray(y_sc)[:n], atol=2e-4)
+    assert np.allclose(np.asarray(H_pl), np.asarray(H_sc), atol=1e-3)
+
+
+def test_pallas_4x4_cma_and_nlms_match_scan():
+    from opticommpy_tpu.kernels.mimo_pallas import mimo_eq_pallas
+
+    key = jax.random.PRNGKey(12)
+    sig, symb = _qam_modes(key, 1500, n_modes=4)
+    const = _norm_const()
+    for alg, scan_alg in [("cma", "cma"), ("nlms", "nlms")]:
+        y_pl, _ = mimo_eq_pallas(sig, symb, const, alg=alg, n_taps=5, sps=2,
+                                 mu=5e-4, n_train=10**9, block=512,
+                                 interpret=True)
+        cfg = MIMOEqualizerConfig(nTaps=5, mu=(5e-4,), SpS=2, alg=(scan_alg,),
+                                  M=16)
+        y_sc, _, _, _, _ = mimo_adapt_equalizer(sig, cfg, symb_ref=symb,
+                                                return_results=True)
+        n = min(y_pl.shape[0], y_sc.shape[0])
+        assert np.allclose(np.asarray(y_pl)[:n], np.asarray(y_sc)[:n],
+                           atol=5e-4), alg
+
+
+def test_pallas_batch_3mode():
+    """Batched kernel at n_modes=3 (odd mode count) matches per-signal."""
+    from opticommpy_tpu.kernels.mimo_pallas import (mimo_eq_pallas,
+                                                    mimo_eq_pallas_batch)
+
+    key = jax.random.PRNGKey(13)
+    sigs, symbs = [], []
+    for b in range(3):
+        sig, symb = _qam_modes(jax.random.fold_in(key, b), 800, n_modes=3)
+        sigs.append(sig)
+        symbs.append(symb)
+    sig_b = jnp.stack(sigs)
+    symb_b = jnp.stack(symbs)
+    const = _norm_const()
+    y_b, h_b = mimo_eq_pallas_batch(sig_b, symb_b, const, alg="lms",
+                                    n_taps=5, sps=2, mu=1e-3, n_train=400,
+                                    block=256, interpret=True)
+    assert y_b.shape == (3, 800, 3) and h_b.shape == (3, 3, 3, 5)
+    for b in range(3):
+        y_s, h_s = mimo_eq_pallas(sigs[b], symbs[b], const, alg="lms",
+                                  n_taps=5, sps=2, mu=1e-3, n_train=400,
+                                  block=256, interpret=True)
+        assert np.allclose(np.asarray(y_b[b]), np.asarray(y_s), atol=1e-5), b
+        assert np.allclose(np.asarray(h_b[b]), np.asarray(h_s), atol=1e-5), b
