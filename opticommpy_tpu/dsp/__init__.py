@@ -10,6 +10,7 @@ from opticommpy_tpu.dsp.carrier_recovery import (  # noqa: F401
     cpr,
     ddpll,
     fourth_power_foe,
+    residual_linewidth,
     viterbi,
 )
 from opticommpy_tpu.dsp.clock_recovery import (  # noqa: F401

@@ -26,7 +26,8 @@ from opticommpy_tpu.comm.modulation import gray_mapping
 from opticommpy_tpu.comm.sources import symbol_pmf
 from opticommpy_tpu.ops.signal import moving_average, pnorm
 
-__all__ = ["CPRConfig", "cpr", "bps", "ddpll", "viterbi", "fourth_power_foe"]
+__all__ = ["CPRConfig", "cpr", "bps", "ddpll", "viterbi", "fourth_power_foe",
+           "residual_linewidth"]
 
 
 @dataclass(frozen=True)
@@ -180,12 +181,33 @@ def fourth_power_foe(sig, fs, m_power=4):
     return out, fo
 
 
+def residual_linewidth(phase_est, Ts):
+    """Residual phase-noise linewidth after CPR, in Hz.
+
+    The reference estimates and logs this inside cpr
+    (carrierRecovery.py:154-162): the variance of the phase increments on
+    the central half of the estimate (1/4 discarded each end), averaged
+    over modes, scaled by 1/(2 pi Ts) — the Lorentzian linewidth that
+    would produce that random-walk step variance.
+    """
+    phase_est = jnp.asarray(phase_est)
+    if phase_est.ndim == 1:
+        phase_est = phase_est[:, None]
+    discard = phase_est.shape[0] // 4
+    d = jnp.diff(phase_est[discard:-discard], axis=0)
+    sigma2 = jnp.mean(jnp.var(d, axis=0))
+    return sigma2 / (2 * jnp.pi * Ts)
+
+
 def cpr(sig, config: CPRConfig = CPRConfig(), symb_tx=None, pilot_ind=None,
-        return_phases=False):
+        return_phases=False, return_linewidth=False):
     """Carrier phase recovery dispatcher (reference carrierRecovery.py:37).
 
     Optionally runs 4th-power FOE first, then the selected CPR algorithm,
-    unwraps the 4x phase, logs nothing (pure function), and derotates.
+    unwraps the 4x phase, and derotates. Where the reference *logs* the
+    residual linewidth (carrierRecovery.py:154-162), this pure function
+    returns it when asked: ``return_linewidth=True`` appends the
+    :func:`residual_linewidth` estimate [Hz] to the return tuple.
     """
     sig = jnp.asarray(sig)
     squeeze = sig.ndim == 1
@@ -235,7 +257,13 @@ def cpr(sig, config: CPRConfig = CPRConfig(), symb_tx=None, pilot_ind=None,
 
     phase_est = jnp.unwrap(4 * phase_est, axis=0) / 4
     out = pnorm(sig * jnp.exp(1j * phase_est))
+    lw = residual_linewidth(phase_est, config.Ts) if return_linewidth else None
     if squeeze:
         out = out[:, 0]
         phase_est = phase_est[:, 0]
-    return (out, phase_est) if return_phases else out
+    ret = (out,)
+    if return_phases:
+        ret += (phase_est,)
+    if return_linewidth:
+        ret += (lw,)
+    return ret if len(ret) > 1 else out

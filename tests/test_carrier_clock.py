@@ -165,3 +165,43 @@ def test_gardner_pallas_two_modes_nyquist():
     assert rec_p.ndim == 2 and rec_p.shape[1] == 2
     nl = min(rec_w.shape[0], rec_p.shape[0])
     assert np.max(np.abs(np.asarray(rec_w)[:nl] - np.asarray(rec_p)[:nl])) < 1e-5
+
+
+def test_residual_linewidth_estimate():
+    """residual_linewidth recovers a known Lorentzian linewidth (r1 nit).
+
+    Matches the reference's in-cpr estimate (carrierRecovery.py:154-162):
+    var of central-half phase increments / (2 pi Ts).
+    """
+    import jax
+    from opticommpy_tpu.dsp import residual_linewidth
+
+    Ts = 1 / 32e9
+    lw_true = 200e3  # Hz
+    sigma = np.sqrt(2 * np.pi * lw_true * Ts)
+    key = jax.random.PRNGKey(0)
+    steps = sigma * jax.random.normal(key, (200000, 2))
+    phase = jnp.cumsum(steps, axis=0)
+    lw_est = float(residual_linewidth(phase, Ts))
+    assert abs(lw_est - lw_true) / lw_true < 0.05
+
+
+def test_cpr_return_linewidth():
+    import jax
+    from opticommpy_tpu.dsp import CPRConfig, cpr
+    from opticommpy_tpu.comm import modulate_gray
+    from opticommpy_tpu.ops import pnorm
+
+    key = jax.random.PRNGKey(1)
+    symb = pnorm(modulate_gray(
+        jax.random.randint(key, (4000 * 2,), 0, 2), 4, "qam").reshape(-1, 2))
+    cfg = CPRConfig(alg="bps", M=4, B=32, N=16, runFOE=False)
+    out, phases, lw = cpr(symb, cfg, return_phases=True,
+                          return_linewidth=True)
+    assert out.shape == symb.shape and phases.shape == symb.shape
+    assert float(lw) >= 0.0
+    # 2-tuple and plain returns still work
+    out2, lw2 = cpr(symb, cfg, return_linewidth=True)
+    out3 = cpr(symb, cfg)
+    assert np.allclose(np.asarray(out2), np.asarray(out))
+    assert np.asarray(out3).shape == symb.shape
