@@ -10,9 +10,11 @@ enters/leaves in the frequency domain via (jittable) FFTs.
 Differences from the reference:
 - the PID controller is implemented inline (no ``simple_pid`` dependency),
 - EDF cross-section data loads from any Giles-format text file (two or three
-  columns: wavelength, absorption, gain) *or* from a built-in analytic
-  approximation of a typical MP980 erbium fiber (:func:`synthetic_edf_data`),
-  so the model runs without external data assets.
+  columns: wavelength, absorption, gain), from the built-in MP980-class
+  Gaussian-band model fitted to the reference's measured Giles file
+  (``file="MP980"``, :func:`mp980_edf_data`, ~1% of peak), or from a coarser
+  analytic stand-in (:func:`synthetic_edf_data`) — the model runs without
+  external data assets either way.
 
 Reference citations: gilesSpectrum (amplification.py:139), gilesSpatial
 (:163), getN2Pop (:197), getOverlapInt (:229), get_mode_radius (:255),
@@ -29,6 +31,7 @@ from scipy.special import jv, kv
 __all__ = [
     "EDFASMConfig",
     "synthetic_edf_data",
+    "mp980_edf_data",
     "get_mode_radius",
     "edf_params",
     "edfa_sm",
@@ -101,6 +104,32 @@ def synthetic_edf_data(n_points=200):
     return lam, to_lin * alpha, to_lin * gstar
 
 
+def mp980_edf_data(n_points=600):
+    """MP980-class erbium fiber Giles spectra from a Gaussian-band model.
+
+    Returns (wavelength [m], absorption [dB/m], gain [dB/m]) over
+    875-1650 nm, matching the measured MP980 Giles parameter file the
+    reference ships (`optic/models/ampParams/giles_MP980.dat`, consumed at
+    amplification.py:289) to ~1% of peak. The measured asset itself is not
+    redistributed; the curves are reconstructed from fitted Gaussian band
+    coefficients (Stark-manifold decomposition, tools/fit_edf_gaussians.py)
+    stored in :mod:`opticommpy_tpu.models._edf_mp980`.
+
+    Select with ``EDFASMConfig(file="MP980")``.
+    """
+    from opticommpy_tpu.models import _edf_mp980 as t
+
+    lam_nm = np.linspace(t.LAMBDA_NM[0], t.LAMBDA_NM[1], n_points)
+
+    def gsum(params):
+        out = np.zeros_like(lam_nm)
+        for a, c0, s in params:
+            out += a * np.exp(-0.5 * ((lam_nm - c0) / s) ** 2)
+        return out
+
+    return (lam_nm * 1e-9, gsum(t.ABSORPTION_DB_M), gsum(t.GAIN_DB_M))
+
+
 def get_mode_radius(model, radius, V, v, u):
     """Gaussian mode radius approximations (reference amplification.py:255)."""
     if model == "Bessel":
@@ -126,7 +155,9 @@ def edf_params(cfg: EDFASMConfig):
     Returns a dict with lbFl, absCoef, gainCoef, absCross, emiCross, gamma(lb),
     r, dr, i_k(r, lb).
     """
-    if cfg.file:
+    if cfg.file and cfg.file.upper() == "MP980":
+        lb, col1, col2 = mp980_edf_data()
+    elif cfg.file:
         data = np.loadtxt(cfg.file)
         if cfg.fileunit == "nm":
             lb = data[:, 0] * 1e-9
@@ -257,7 +288,8 @@ def _make_consts(props):
     return props
 
 
-def edfa_sm(e_in, fs, fc, cfg: EDFASMConfig = EDFASMConfig(), rng=None):
+def edfa_sm(e_in, fs, fc, cfg: EDFASMConfig = EDFASMConfig(), rng=None,
+            report=None):
     """Stateful (physical) EDFA model (reference edfaSM, amplification.py:420).
 
     Solves the Giles rate/propagation equations for signal + fwd/bck ASE +
@@ -265,6 +297,13 @@ def edfa_sm(e_in, fs, fc, cfg: EDFASMConfig = EDFASMConfig(), rng=None):
     forward pump, and returns (Eout, PpumpF, PpumpB, noise_profile).
 
     ``e_in`` is an (N, 1) or (N, 2) complex field array (host numpy).
+
+    ``report``: optional callable; where the reference logs loop progress
+    (amplification.py:601-639), this hook receives one dict per iteration:
+    ``{"stage": "relax", "loop": i, "err": mean |1 - P/P_boundary|}`` for
+    the two-point relaxation, ``{"stage": "control", "loop": i, "err_dB":
+    e, "pump_f_mW": p}`` for the AGC/APC PID loop, and ``{"stage": ...,
+    "failed": True, ...}`` if a loop hits its iteration cap.
     """
     if cfg.type not in ("AGC", "APC", "none"):
         raise TypeError("edfa_sm type invalid argument - [AGC, APC, none].")
@@ -393,6 +432,12 @@ def edfa_sm(e_in, fs, fc, cfg: EDFASMConfig = EDFASMConfig(), rng=None):
                 ratios.append(p_in[idx_pmp_f][pump_f > 0] / pump_f[pump_f > 0])
             err_cvg = (1 - np.concatenate(ratios)) if ratios else np.zeros(1)
             try_loop += 1
+            if report is not None:
+                report({"stage": "relax", "loop": try_loop,
+                        "err": float(np.mean(np.abs(err_cvg)))})
+        if report is not None and np.mean(np.abs(err_cvg)) > cfg.tol:
+            report({"stage": "relax", "loop": try_loop, "failed": True,
+                    "err": float(np.mean(np.abs(err_cvg)))})
 
         if cfg.type == "none":
             err_ctrl = 0.0
@@ -410,6 +455,14 @@ def edfa_sm(e_in, fs, fc, cfg: EDFASMConfig = EDFASMConfig(), rng=None):
         pump_f = np.maximum(pump_f + pid(measured), 1e-6)
         err_ctrl = measured - cfg.value
         try_ctrl += 1
+        if report is not None:
+            report({"stage": "control", "loop": try_ctrl,
+                    "err_dB": float(np.mean(err_ctrl)),
+                    "pump_f_mW": float(1e3 * np.mean(pump_f))})
+    if report is not None and cfg.type != "none" and try_ctrl >= max_try \
+            and abs(np.mean(err_ctrl)) > cfg.tolCtrl:
+        report({"stage": "control", "loop": try_ctrl, "failed": True,
+                "err_dB": float(np.mean(err_ctrl))})
 
     p_pump_f = p_out[idx_pmp_f]
     p_pump_b = p_out[idx_pmp_b]

