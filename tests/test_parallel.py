@@ -1,5 +1,6 @@
 """Multi-chip sharding tests on the 8-device virtual CPU mesh."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -234,3 +235,40 @@ def test_manakov_sp_edfa_runs(mesh_time4):
     p_in = float(jnp.mean(jnp.abs(sig) ** 2))
     p_out = float(jnp.mean(jnp.abs(out) ** 2))
     assert 0.8 * p_in < p_out < 1.6 * p_in
+
+
+def test_two_process_distributed_backend():
+    """2-process jax.distributed over localhost (VERDICT r1 item 8).
+
+    Spawns two CPU-platform workers (2 virtual devices each) that
+    init_distributed against a local coordinator, build the DCN-shaped
+    (host, local) mesh, and run cross-host reductions — the only code path
+    separating 'works on a pod' from 'never ran'.
+    """
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_PROCESSES")}
+    procs = [subprocess.Popen([sys.executable, worker, coord, str(pid)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True, env=env)
+             for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"RESULT sum {pid} 28.0" in out, out
+        assert f"RESULT psum {pid} 28.0" in out, out
