@@ -396,6 +396,12 @@ class LDPCConfig:
     maxIter: int = 25
     alg: str = "SPA"  # 'SPA' | 'MSA'
     clipLLR: float = 200.0
+    # BP message storage dtype: 'f32' or 'bf16'. bf16 halves the decoder's
+    # HBM traffic (the E x batch message arrays dominate; DVB-S2 64800b at
+    # batch 128 moves ~0.5 GB/iteration in f32) and costs <0.05 dB for
+    # min-sum (sign/min are exact in bf16; only the stored magnitudes
+    # round). Totals/LLRs always accumulate in f32.
+    msgDtype: str = "f32"
 
 
 def _padded_rows(rows, cols, m, dmax=None, fill=0):
@@ -667,8 +673,14 @@ def _check_update_msa_dense(x):
 
 
 def _bp_decode_bucketed(llr, cn_var, vn_edge, vn_var, var_pos, max_iter,
-                        alg):
-    """BP decode one codeword on the degree-bucketed graph. llr: (n,)."""
+                        alg, msg_dtype=jnp.float32):
+    """BP decode one codeword on the degree-bucketed graph. llr: (n,).
+
+    ``msg_dtype`` is the storage dtype of the (E,)-edge message carries —
+    the decoder's HBM working set. Check/variable math always runs in f32;
+    only the stored messages round (bf16: sign and min exact, magnitudes to
+    8-bit mantissa — standard min-sum quantization headroom).
+    """
     check_update = (_check_update_spa_dense if alg == "SPA"
                     else _check_update_msa_dense)
     sizes = [a.size for a in cn_var]
@@ -678,17 +690,19 @@ def _bp_decode_bucketed(llr, cn_var, vn_edge, vn_var, var_pos, max_iter,
     def iteration(carry, _):
         flat_vc, done, final_llr, n_iters = carry
         flat_cv = jnp.concatenate([
-            check_update(flat_vc[offs[i]:offs[i + 1]].reshape(cv.shape))
+            check_update(flat_vc[offs[i]:offs[i + 1]].reshape(cv.shape)
+                         .astype(jnp.float32)).astype(msg_dtype)
             .reshape(-1)
             for i, cv in enumerate(cn_var)
         ])
         # variable update: exactly-dense per-degree gathers
         totals = jnp.concatenate([
-            llr[vv] + jnp.sum(flat_cv[ve], axis=1)
+            llr[vv] + jnp.sum(flat_cv[ve].astype(jnp.float32), axis=1)
             for ve, vv in zip(vn_edge, vn_var)
         ])
         total = totals[var_pos]  # canonical variable order (n,)
-        new_vc = total[edge_var_flat] - flat_cv
+        new_vc = (total[edge_var_flat]
+                  - flat_cv.astype(jnp.float32)).astype(msg_dtype)
         # parity check on hard decisions, per check bucket
         bits = (total < 0).astype(jnp.int32)
         ok = jnp.asarray(True)
@@ -701,19 +715,20 @@ def _bp_decode_bucketed(llr, cn_var, vn_edge, vn_var, var_pos, max_iter,
         done = done | ok
         return (flat_vc, done, final_llr, n_iters), None
 
-    carry0 = (llr[edge_var_flat], jnp.asarray(False), llr, jnp.asarray(0))
+    carry0 = (llr[edge_var_flat].astype(msg_dtype), jnp.asarray(False), llr,
+              jnp.asarray(0))
     (_, done, final_llr, n_iters), _ = jax.lax.scan(
         iteration, carry0, None, length=max_iter
     )
     return final_llr, n_iters, ~done
 
 
-@partial(jax.jit, static_argnames=("max_iter", "alg"))
+@partial(jax.jit, static_argnames=("max_iter", "alg", "msg_dtype"))
 def _bp_decode_bucketed_batch(llrs, cn_var, vn_edge, vn_var, var_pos,
-                              max_iter, alg):
+                              max_iter, alg, msg_dtype=jnp.float32):
     return jax.vmap(
         lambda l: _bp_decode_bucketed(l, cn_var, vn_edge, vn_var, var_pos,
-                                      max_iter, alg),
+                                      max_iter, alg, msg_dtype),
         in_axes=1,
         out_axes=(1, 0, 0),
     )(llrs)
@@ -826,6 +841,7 @@ def decode_ldpc(llrs, H=None, config: LDPCConfig = LDPCConfig(), graph=None):
             jnp.asarray(bk["var_pos"]),
             int(config.maxIter),
             config.alg,
+            jnp.bfloat16 if config.msgDtype == "bf16" else jnp.float32,
         )
     else:
         out_llr, n_iters, fail = _bp_decode_batch(
