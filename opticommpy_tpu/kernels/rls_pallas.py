@@ -1,0 +1,261 @@
+"""Pallas TPU kernel for the RLS / DD-RLS adaptive equalizer recurrence.
+
+The RLS rules were the one equalizer family without a fast path (VERDICT r1):
+excluded from blockUpdate (the Kalman-gain recursion has no delayed-gradient
+form) and from the gradient-rule Pallas kernel (extra per-mode state: the
+inverse correlation matrix Sd). This kernel runs the full recurrence
+on-chip, mirroring the scan semantics (dsp/equalization.py:226, reference
+rlsUp equalization.py:575):
+
+per symbol, per input mode m (x = window column of mode m):
+    A  = Sd_m conj(x);  B = x^T Sd_m;  C = x^T A
+    Sd_m' = (Sd_m - A B / (lam + C)) / lam
+    Y_m = Sd_m' conj(x)
+    H[o, m, :] += err[o] * Y_m        (no mu — RLS is self-scaling)
+
+Layout: everything is 3-D — windows stream as (block, modes, taps) tiles,
+H lives in VMEM as (modes, modes, taps) re/im scratch, Sd as
+(modes, taps, taps) re/im scratch. All products are broadcast-multiply +
+lane/sublane reductions (no matmuls — T ~ 15 is far below MXU size, the VPU
+form avoids relayouts). Complex arithmetic is expanded into real/imag
+planes (the Mosaic-friendly convention used by every kernel here).
+
+Zero-padded tail symbols must NOT update state (x = 0 still rescales Sd by
+1/lam), so updates are masked by the true symbol count.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from opticommpy_tpu.kernels._util import split_ri
+from opticommpy_tpu.kernels.bps_pallas import _square_qam_levels
+
+__all__ = ["mimo_rls_pallas"]
+
+
+def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
+            h0_re_ref, h0_im_ref, sd0_re_ref, sd0_im_ref,
+            out_re_ref, out_im_ref, hout_re_ref, hout_im_ref,
+            sdout_re_ref, sdout_im_ref, h_re, h_im, sd_re, sd_im, *,
+            block, n_modes, n_taps, lam, n_sym, m_const, alg, qam_grid=None):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        h_re[...] = h0_re_ref[...]
+        h_im[...] = h0_im_ref[...]
+        sd_re[...] = sd0_re_ref[...]
+        sd_im[...] = sd0_im_ref[...]
+
+    def body(i, _):
+        w_re = win_re_ref[i]  # (modes, taps)
+        w_im = win_im_ref[i]
+        hr = h_re[...]  # (modes_out, modes, taps)
+        hi = h_im[...]
+        # filter: o = sum_{m,t} H[o,m,t] * w[m,t] (complex)
+        o_re = jnp.sum(hr * w_re[None] - hi * w_im[None], axis=(1, 2))
+        o_im = jnp.sum(hr * w_im[None] + hi * w_re[None], axis=(1, 2))
+
+        if alg == "rls":
+            t_re = ref_re_ref[i]  # (modes,)
+            t_im = ref_im_ref[i]
+        else:  # dd-rls: decision-directed
+            if qam_grid is not None:
+                lo, step, n_lev = qam_grid
+
+                def q(x):
+                    k = jnp.clip(jnp.round((x - lo) / step), 0.0, n_lev - 1.0)
+                    return k * step + lo
+
+                t_re = q(o_re)
+                t_im = q(o_im)
+            else:
+                d2 = (o_re[:, None] - cr_ref[0, :][None, :]) ** 2 + (
+                    o_im[:, None] - ci_ref[0, :][None, :]) ** 2
+                ind = jnp.argmin(d2, axis=1)
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, (n_modes, m_const), 1)
+                sel = (cols == ind[:, None]).astype(jnp.float32)
+                t_re = jnp.sum(sel * cr_ref[0, :][None, :], axis=1)
+                t_im = jnp.sum(sel * ci_ref[0, :][None, :], axis=1)
+        e_re = t_re - o_re  # (modes,)
+        e_im = t_im - o_im
+
+        sr = sd_re[...]  # (modes, T, T)
+        si = sd_im[...]
+        # A = Sd conj(x): A[m,i] = sum_j Sd[m,i,j] * conj(x)[m,j]
+        xr = w_re[:, None, :]  # (modes, 1, T) broadcast over rows i
+        xi = w_im[:, None, :]
+        a_re = jnp.sum(sr * xr + si * xi, axis=2)  # (modes, T)
+        a_im = jnp.sum(si * xr - sr * xi, axis=2)
+        # B = x^T Sd: B[m,j] = sum_i x[m,i] Sd[m,i,j]
+        yr = w_re[:, :, None]  # (modes, T, 1) broadcast over cols j
+        yi = w_im[:, :, None]
+        b_re = jnp.sum(sr * yr - si * yi, axis=1)  # (modes, T)
+        b_im = jnp.sum(si * yr + sr * yi, axis=1)
+        # C = x^T A (complex scalar per mode)
+        c_re = jnp.sum(w_re * a_re - w_im * a_im, axis=1)  # (modes,)
+        c_im = jnp.sum(w_re * a_im + w_im * a_re, axis=1)
+        # 1 / (lam + C)
+        d_re = lam + c_re
+        d_im = c_im
+        den = d_re * d_re + d_im * d_im
+        inv_re = d_re / den
+        inv_im = -d_im / den
+        # outer product A B scaled by inv, subtracted, /lam
+        ab_re = (a_re[:, :, None] * b_re[:, None, :]
+                 - a_im[:, :, None] * b_im[:, None, :])  # (modes, T, T)
+        ab_im = (a_re[:, :, None] * b_im[:, None, :]
+                 + a_im[:, :, None] * b_re[:, None, :])
+        sub_re = ab_re * inv_re[:, None, None] - ab_im * inv_im[:, None, None]
+        sub_im = ab_re * inv_im[:, None, None] + ab_im * inv_re[:, None, None]
+        new_sr = (sr - sub_re) / lam
+        new_si = (si - sub_im) / lam
+        # Y = Sd' conj(x)
+        y_re = jnp.sum(new_sr * xr + new_si * xi, axis=2)  # (modes, T)
+        y_im = jnp.sum(new_si * xr - new_sr * xi, axis=2)
+        # H[o, m, t] += err[o] * Y[m, t]
+        upd_re = (e_re[:, None, None] * y_re[None]
+                  - e_im[:, None, None] * y_im[None])
+        upd_im = (e_re[:, None, None] * y_im[None]
+                  + e_im[:, None, None] * y_re[None])
+
+        # freeze on padded tail symbols (x=0 would still rescale Sd by 1/lam)
+        live = (b * block + i) < n_sym
+        h_re[...] = jnp.where(live, hr + upd_re, hr)
+        h_im[...] = jnp.where(live, hi + upd_im, hi)
+        sd_re[...] = jnp.where(live, new_sr, sr)
+        sd_im[...] = jnp.where(live, new_si, si)
+
+        out_re_ref[i] = o_re
+        out_im_ref[i] = o_im
+        return 0
+
+    jax.lax.fori_loop(0, block, body, 0)
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _():
+        hout_re_ref[...] = h_re[...]
+        hout_im_ref[...] = h_im[...]
+        sdout_re_ref[...] = sd_re[...]
+        sdout_im_ref[...] = sd_im[...]
+
+
+@partial(jax.jit,
+         static_argnames=("n_taps", "sps", "lam", "block", "alg", "qam_grid",
+                          "interpret"))
+def _rls_run(sig_re, sig_im, ref_re, ref_im, const_re, const_im, h0_re,
+             h0_im, sd0_re, sd0_im, n_taps, sps, lam, block=512, alg="rls",
+             qam_grid=None, interpret=False):
+    """sig_*: (N, modes) f32; ref_*: (nSym, modes); h0_*: (modes, modes, T)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_modes = sig_re.shape[1]
+    n_sym = ref_re.shape[0]
+    n_blocks = int(np.ceil(n_sym / block))
+    n_pad_sym = n_blocks * block
+    l_pad = n_taps // 2
+
+    def windows(x):  # (N, modes) -> (n_pad_sym, modes, taps)
+        xp = jnp.pad(x, ((l_pad, l_pad + sps + n_taps + n_pad_sym * sps
+                          - x.shape[0]), (0, 0)))
+        idx = np.arange(n_pad_sym)[:, None] * sps + np.arange(n_taps)[None, :]
+        w = xp[jnp.asarray(idx)]  # (n_pad_sym, taps, modes)
+        return w.transpose(0, 2, 1)
+
+    w_re = windows(sig_re)
+    w_im = windows(sig_im)
+    rp_re = jnp.pad(ref_re, ((0, n_pad_sym - n_sym), (0, 0)))
+    rp_im = jnp.pad(ref_im, ((0, n_pad_sym - n_sym), (0, 0)))
+    m_const = int(const_re.shape[0])
+
+    kernel = partial(_kernel, block=block, n_modes=n_modes, n_taps=n_taps,
+                     lam=lam, n_sym=n_sym, m_const=m_const, alg=alg,
+                     qam_grid=qam_grid)
+    mmt = (n_modes, n_modes, n_taps)
+    mtt = (n_modes, n_taps, n_taps)
+    full = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block, n_modes, n_taps), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block, n_modes, n_taps), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block, n_modes), lambda i: (i, 0)),
+            pl.BlockSpec((block, n_modes), lambda i: (i, 0)),
+            full((1, m_const)),
+            full((1, m_const)),
+            full(mmt), full(mmt), full(mtt), full(mtt),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, n_modes), lambda i: (i, 0)),
+            pl.BlockSpec((block, n_modes), lambda i: (i, 0)),
+            full(mmt), full(mmt), full(mtt), full(mtt),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad_sym, n_modes), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad_sym, n_modes), jnp.float32),
+            jax.ShapeDtypeStruct(mmt, jnp.float32),
+            jax.ShapeDtypeStruct(mmt, jnp.float32),
+            jax.ShapeDtypeStruct(mtt, jnp.float32),
+            jax.ShapeDtypeStruct(mtt, jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(mmt, jnp.float32), pltpu.VMEM(mmt, jnp.float32),
+            pltpu.VMEM(mtt, jnp.float32), pltpu.VMEM(mtt, jnp.float32),
+        ],
+        interpret=interpret,
+    )(w_re, w_im, rp_re, rp_im, const_re[None, :], const_im[None, :],
+      h0_re, h0_im, sd0_re, sd0_im)
+    out_re, out_im, hr, hi, sdr, sdi = outs
+    return out_re[:n_sym], out_im[:n_sym], hr, hi, sdr, sdi
+
+
+def mimo_rls_pallas(sig, symb_ref, const, alg="rls", n_taps=15, sps=2,
+                    lam=0.99, block=512, H0=None, Sd0=None, interpret=False):
+    """Pallas NxN RLS / DD-RLS adaptive equalizer.
+
+    ``alg``: 'rls' (data-aided, needs ``symb_ref``) or 'dd-rls'
+    (decision-directed; ``symb_ref`` may be None). Semantics match
+    :func:`opticommpy_tpu.dsp.mimo_adapt_equalizer` with the same alg
+    (reference rlsUp/ddrlsUp, equalization.py:575,716).
+
+    Returns (y (nSym, modes) complex, H (modes, modes, taps),
+    Sd (modes, taps, taps) — the final inverse-correlation state, so a
+    follow-on stage can warm-start).
+    """
+    sig_re, sig_im = split_ri(sig)
+    const = np.asarray(const).astype(np.complex64)
+    n_modes = sig_re.shape[1]
+    if symb_ref is None:
+        if alg == "rls":
+            raise ValueError("symb_ref is required for alg='rls'")
+        n_sym = sig_re.shape[0] // sps
+        ref_re = ref_im = jnp.zeros((n_sym, n_modes), dtype=jnp.float32)
+    else:
+        ref_re, ref_im = split_ri(symb_ref)
+    if H0 is None:
+        h0 = np.zeros((n_modes, n_modes, n_taps), dtype=np.complex64)
+        h0[np.arange(n_modes), np.arange(n_modes), n_taps // 2] = 1.0
+    else:
+        h0 = np.asarray(H0).astype(np.complex64)
+    if Sd0 is None:
+        sd0 = np.tile(np.eye(n_taps, dtype=np.complex64),
+                      (n_modes, 1, 1))
+    else:
+        sd0 = np.asarray(Sd0).astype(np.complex64)
+
+    qam_grid = _square_qam_levels(const.real, const.imag)
+    out_re, out_im, hr, hi, sdr, sdi = _rls_run(
+        sig_re, sig_im, ref_re, ref_im,
+        jnp.asarray(const.real), jnp.asarray(const.imag),
+        jnp.asarray(h0.real), jnp.asarray(h0.imag),
+        jnp.asarray(sd0.real), jnp.asarray(sd0.imag),
+        int(n_taps), int(sps), float(lam), int(block), str(alg), qam_grid,
+        bool(interpret),
+    )
+    return out_re + 1j * out_im, hr + 1j * hi, sdr + 1j * sdi

@@ -267,3 +267,44 @@ def test_pallas_batch_3mode():
                                   block=256, interpret=True)
         assert np.allclose(np.asarray(y_b[b]), np.asarray(y_s), atol=1e-5), b
         assert np.allclose(np.asarray(h_b[b]), np.asarray(h_s), atol=1e-5), b
+
+
+def test_pallas_rls_matches_scan():
+    """RLS fast path (VERDICT r1 item 4): kernel == scan for rls/dd-rls."""
+    from opticommpy_tpu.kernels.rls_pallas import mimo_rls_pallas
+
+    key = jax.random.PRNGKey(21)
+    sig, symb = _qam_polmux(key, 2000)
+    const = _norm_const()
+    for alg in ("rls", "dd-rls"):
+        y_pl, H_pl, Sd_pl = mimo_rls_pallas(sig, symb, const, alg=alg,
+                                            n_taps=7, sps=2, lam=0.999,
+                                            block=512, interpret=True)
+        cfg = MIMOEqualizerConfig(nTaps=7, lambdaRLS=0.999, SpS=2,
+                                  alg=(alg,), M=16)
+        y_sc, H_sc, _, _, _ = mimo_adapt_equalizer(sig, cfg, symb_ref=symb,
+                                                   return_results=True)
+        n = min(y_pl.shape[0], y_sc.shape[0])
+        assert np.allclose(np.asarray(y_pl)[:n], np.asarray(y_sc)[:n],
+                           atol=2e-4), alg
+        assert np.allclose(np.asarray(H_pl), np.asarray(H_sc),
+                           atol=1e-4), alg
+        assert Sd_pl.shape == (2, 7, 7)
+
+
+def test_pallas_rls_4x4():
+    from opticommpy_tpu.kernels.rls_pallas import mimo_rls_pallas
+
+    key = jax.random.PRNGKey(22)
+    sig, symb = _qam_modes(key, 1200, n_modes=4)
+    const = _norm_const()
+    y_pl, H_pl, _ = mimo_rls_pallas(sig, symb, const, alg="rls", n_taps=5,
+                                    sps=2, lam=0.999, block=256,
+                                    interpret=True)
+    cfg = MIMOEqualizerConfig(nTaps=5, lambdaRLS=0.999, SpS=2, alg=("rls",),
+                              M=16)
+    y_sc, H_sc, _, _, _ = mimo_adapt_equalizer(sig, cfg, symb_ref=symb,
+                                               return_results=True)
+    n = min(y_pl.shape[0], y_sc.shape[0])
+    assert np.allclose(np.asarray(y_pl)[:n], np.asarray(y_sc)[:n], atol=2e-4)
+    assert np.allclose(np.asarray(H_pl), np.asarray(H_sc), atol=1e-4)
