@@ -18,6 +18,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if "--cpu" in sys.argv:
+    # CI/smoke mode: the "TPU" side also runs on host CPU (still jitted) —
+    # never grab the single-tenant TPU from a test runner
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 import jax
