@@ -163,17 +163,21 @@ def bench_bps(n_symbols, n_win=32, b_phases=64):
 
 
 def main():
-    for n in (2**16, 2**18, 2**20):
-        sps, speedup = bench_manakov(n)
+    fast = os.environ.get("OPTICOMMPY_TPU_FAST") == "1"
+    man_sizes = (2**14,) if fast else (2**16, 2**18, 2**20)
+    fir_sizes = (2**16,) if fast else (2**18, 2**20, 2**22)
+    bps_sizes = (2**12,) if fast else (2**14, 2**16)
+    for n in man_sizes:
+        sps, speedup = bench_manakov(n, n_steps=5 if fast else 50)
         print(json.dumps({"kernel": "manakovSSF", "n_samples": n,
                           "tpu_samples_per_s": round(sps),
                           "speedup_vs_cpu": round(speedup, 1)}))
-    for n in (2**18, 2**20, 2**22):
+    for n in fir_sizes:
         sps, speedup = bench_fir(n)
         print(json.dumps({"kernel": "firFilter", "n_samples": n,
                           "tpu_samples_per_s": round(sps),
                           "speedup_vs_cpu": round(speedup, 1)}))
-    for n in (2**14, 2**16):
+    for n in bps_sizes:
         sps, speedup = bench_bps(n)
         print(json.dumps({"kernel": "bps", "n_symbols": n,
                           "tpu_sym_per_s": round(sps),

@@ -55,12 +55,14 @@ from opticommpy_tpu.utils.units import ber2qfactor
 M = 64
 RS = 32e9
 SPS = 8
-N_BITS = 6 * 2**14  # 16384 symbols per polarization
-LINK_KM, SPAN_KM = 800.0, 50.0
+FAST = os.environ.get("OPTICOMMPY_TPU_FAST") == "1"
+# FAST: CI smoke shape (fewer symbols, shorter link, smaller matrix)
+N_BITS = 6 * 2**12 if FAST else 6 * 2**14  # symbols per polarization
+LINK_KM, SPAN_KM = (200.0 if FAST else 800.0), 50.0
 DISP = 17.0
-POWERS_DBM = np.arange(-2.0, 5.0, 1.5)
-N_TRAIN = 4000
-DISCARD = N_TRAIN + 1000
+POWERS_DBM = np.arange(-2.0, 5.0, 3.0 if FAST else 1.5)
+N_TRAIN = 1000 if FAST else 4000
+DISCARD = N_TRAIN + (200 if FAST else 1000)
 
 
 def linear_rx(sig_rx, symb_ref, pulse):
@@ -84,7 +86,7 @@ def nlc_correct(symb_rx, symb_hat, p_dbm, n_grid=10):
     """Estimate NLIN from symb_hat, subtract with EVM-optimal amp/phase."""
     cfg = PerturbationConfig(D=DISP, alpha=0.2, lspan=SPAN_KM, length=LINK_KM,
                              gamma=1.3, Rs=RS, mode="AMR", coeffTol=-30.0,
-                             matrixOrder=50, Pin=p_dbm)
+                             matrixOrder=10 if FAST else 50, Pin=p_dbm)
     nlin = perturbation_nlin(symb_hat, cfg)
     p_peak = 0.5 * 10 ** (p_dbm / 10) * 1e-3
     symb_pert = jnp.sqrt(p_peak) * pnorm(symb_hat) + nlin

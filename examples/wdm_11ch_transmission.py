@@ -37,7 +37,8 @@ from opticommpy_tpu.models import (
 from opticommpy_tpu.models.tx import WDMTxConfig, simple_wdm_tx
 from opticommpy_tpu.ops import decimate, fir_filter, lowpass_fir, pnorm, pulse_shape, symbol_sync
 
-SMALL = "--small" in sys.argv
+SMALL = ("--small" in sys.argv
+         or os.environ.get("OPTICOMMPY_TPU_FAST") == "1")
 
 
 def main():
