@@ -55,8 +55,11 @@ def main():
     xr, xi = np.float32(x.real), np.float32(x.imag)
     yr, yi = np.float32(y.real), np.float32(y.imag)
 
-    for order, mode in [(25, "AM"), (25, "AMR"), (50, "AM")]:
-        cfg = PerturbationConfig(matrixOrder=order, mode=mode)
+    for order, mode in [(25, "AM"), (25, "AM-chunk"), (25, "AMR"),
+                        (50, "AM")]:
+        method = "chunk" if mode == "AM-chunk" else "fft"
+        cfg = PerturbationConfig(matrixOrder=order,
+                                 mode="AM" if mode.startswith("AM") else mode)
         _, c_ifwm, c_ixpm, c_ispm = calc_pert_coeff_matrix(cfg)
 
         if mode == "AMR":
@@ -76,7 +79,8 @@ def main():
 
             def run(ar, ai, br, bi):
                 dx, dy, px, py = calc_nlin_perturbation(
-                    c_ifwm, c_ixpm, c_ispm, ar + 1j * ai, br + 1j * bi)
+                    c_ifwm, c_ixpm, c_ispm, ar + 1j * ai, br + 1j * bi,
+                    method=method)
                 return (jnp.mean(jnp.abs(dx)) + jnp.mean(jnp.abs(dy))
                         + jnp.mean(px) + jnp.mean(py))
 

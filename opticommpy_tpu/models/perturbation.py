@@ -8,11 +8,11 @@ al. 2015 / da Silva et al. 2019):
   with SciPy special functions (offline setup).
 - :func:`calc_nlin_perturbation` ~ perturbation.py:200 — the reference's
   heaviest data-parallel kernel (a (2L+1)^2 window contraction per symbol,
-  prange over symbols). Here all symbols are processed as a chunked
-  ``lax.map`` over time blocks, each block contracting a
-  (chunk, 2L+1, 2L+1) triple-product tensor against the coefficient
-  matrices — dense batched elementwise + reductions that XLA tiles onto the
-  VPU/MXU. The IXPM phase terms reduce to FIR correlations of |x|^2.
+  prange over symbols). Default method='fft': the double sum factors into
+  per-lag products and one batched FFT correlation (O(L N log N), ~10x the
+  windowed form; `_nlin_kernel_fft`). method='chunk' keeps the direct
+  (chunk, 2L+1, 2L+1) triple-product tensor contraction as the oracle.
+  The IXPM phase terms reduce to FIR correlations of |x|^2.
 - :func:`perturbation_nlin` ~ perturbation.py:505 — additive+multiplicative
   NLIN assembly.
 
@@ -215,11 +215,81 @@ def _nlin_kernel(xw, yw, cf, cx1, cx2, c_ispm, chunk=512):
     )
 
 
-def calc_nlin_perturbation(c_ifwm, c_ixpm, c_ispm, x, y, chunk=512):
+@jax.jit
+def _nlin_kernel_fft(x, y, cf, cx1, cx2, c_ispm):
+    """FFT formulation of the NLIN contraction — O(L N log N) not O(L^2 N).
+
+    Identity: with lag products ``u_m[t] = x[t] x*[t+m] + y[t] y*[t+m]``,
+    the IFWM double sum factors into per-column correlations
+
+        dx[t] = sum_m ( sum_n C(m, n) u_m[t+n] ) x[t+m],
+
+    i.e. indL FIR correlations of length indL over the lag-product signals —
+    one batched FFT convolution — instead of the (chunk, indL, indL)
+    triple-product tensor. ~9x fewer FLOPs at L=25 and the work lands in
+    XLA's FFT instead of giant gathered windows. Matches `_nlin_kernel`
+    to float32 accumulation order (tests pin 1e-5 relative).
+    """
+    n_sym = x.shape[0]
+    ind_l = cf.shape[0]
+    L = (ind_l - 1) // 2
+    xp = jnp.pad(x, (L, L))
+    yp = jnp.pad(y, (L, L))
+    # shifted copies: sh[j] = signal[t + (j - L)] for t in [0, n_sym)
+    idx = np.arange(ind_l)[:, None] + np.arange(n_sym)[None, :]
+    xs = xp[jnp.asarray(idx)]  # (indL, N): xs[j, t] = x[t + j - L]
+    ys = yp[jnp.asarray(idx)]
+    # lag products u_m[t] = x[t] x*[t+m] + y[t] y*[t+m], rows j <-> m = j-L
+    u = x[None, :] * jnp.conj(xs) + y[None, :] * jnp.conj(ys)  # (indL, N)
+
+    # correlation g_j[t] = sum_n k_j[n] u_j[t+n], k_j[n] = cf[L-n, j]
+    # (n in [-L, L]) via zero-padded FFT convolution, batched over j.
+    n_fft = int(2 ** np.ceil(np.log2(n_sym + 2 * ind_l)))
+    # conv kernel: g = conv(u, h)[t + L] with h[i] = k_j[L - i] = cf[i, j]
+    h = cf.T  # (indL kernels, indL taps), h_j[i] = cf[i, j]
+    uf = jnp.fft.fft(u, n=n_fft, axis=1)
+    hf = jnp.fft.fft(h.astype(u.dtype), n=n_fft, axis=1)
+    g = jnp.fft.ifft(uf * hf, axis=1)[:, L:L + n_sym]  # (indL, N)
+
+    dx = jnp.sum(g * xs, axis=0)
+    dy = jnp.sum(g * ys, axis=0)
+
+    # IXPM additive at m=0: x[t] * sum_i cx2[i] |y[t+L-i]|^2
+    # = x[t] * conv(|y|^2, cx2)[t + L]
+    ax = jnp.abs(xs) ** 2  # (indL, N): |x[t + j - L]|^2
+    ay = jnp.abs(ys) ** 2
+    # sum_i cx2[i] a[t + L - i]: the shifted stacks hold a[t + j - L] in row
+    # j, so the row weight is cx2[2L - j] — cx2 reversed.
+    w2 = cx2[::-1]
+    dx = dx + x * jnp.tensordot(w2, ay, axes=1)
+    dy = dy + y * jnp.tensordot(w2, ax, axes=1)
+
+    # IXPM phase at n=0 (+ center ISPM): sum_j cx1[j] b[t + j - L]
+    p_c = jnp.abs(x) ** 2 + jnp.abs(y) ** 2
+    phi_x = jnp.imag(jnp.tensordot(cx1, 2 * ax + ay, axes=1) + p_c * c_ispm)
+    phi_y = jnp.imag(jnp.tensordot(cx1, 2 * ay + ax, axes=1) + p_c * c_ispm)
+    return dx, dy, phi_x, phi_y
+
+
+def calc_nlin_perturbation(c_ifwm, c_ixpm, c_ispm, x, y, chunk=512,
+                           method="fft"):
     """Additive/multiplicative NLIN waveforms (reference perturbation.py:200).
 
+    ``method``: 'fft' (default — lag-product + batched FFT correlation form,
+    O(L N log N)) or 'chunk' (the windowed triple-product tensor the
+    reference's prange kernel maps to, O(L^2 N); kept as the oracle).
     Returns (dx, dy, phi_ixpm_x, phi_ixpm_y), each of length len(x).
     """
+    if method == "fft":
+        x = pnorm(jnp.asarray(x))
+        y = pnorm(jnp.asarray(y))
+        cf = jnp.asarray(c_ifwm)
+        L = (np.asarray(c_ifwm).shape[0] - 1) // 2
+        cx1 = jnp.asarray(np.asarray(c_ixpm)[L, :])
+        cx2 = jnp.asarray(np.asarray(c_ixpm)[:, L])
+        return _nlin_kernel_fft(x.astype(jnp.complex64),
+                                y.astype(jnp.complex64), cf, cx1, cx2,
+                                jnp.asarray(c_ispm))
     x = pnorm(jnp.asarray(x))
     y = pnorm(jnp.asarray(y))
     n_sym = x.shape[0]

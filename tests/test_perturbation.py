@@ -131,3 +131,19 @@ def test_perturbation_nlin_scales_with_power():
     p_hi = np.mean(np.abs(nlin_hi) ** 2)
     # additive NLIN power grows ~P^3: +6 dB launch -> ~+18 dB NLIN
     assert 10 * np.log10(p_hi / p_lo) > 12.0
+
+
+def test_fft_method_matches_chunk_oracle():
+    """FFT lag-product form == windowed triple-product form (r2 speedup)."""
+    rng = np.random.default_rng(5)
+    N = 4096
+    x = (rng.normal(size=N) + 1j * rng.normal(size=N)).astype(np.complex64)
+    y = (rng.normal(size=N) + 1j * rng.normal(size=N)).astype(np.complex64)
+    _, cifwm, cixpm, cispm = calc_pert_coeff_matrix(
+        PerturbationConfig(matrixOrder=15))
+    a = calc_nlin_perturbation(cifwm, cixpm, cispm, x, y, method="chunk")
+    b = calc_nlin_perturbation(cifwm, cixpm, cispm, x, y, method="fft")
+    for u, v in zip(a, b):
+        u, v = np.asarray(u), np.asarray(v)
+        scale = np.max(np.abs(u)) + 1e-30
+        assert np.max(np.abs(u - v)) / scale < 1e-5
