@@ -224,6 +224,34 @@ def test_dvbs2_64800_encode_decode():
     assert int(np.asarray(fail)[0]) == 0
 
 
+def test_qc_decoder_matches_bucketed():
+    """The DVB-S2 quasi-cyclic (roll-based) decoder reproduces the general
+    degree-bucketed decoder: same totals, iteration counts, and failure
+    flags (fec_qc.py message layout change only)."""
+    import jax.numpy as jnp
+
+    from opticommpy_tpu.comm import fec_qc
+    from opticommpy_tpu.comm.fec import _bp_decode_bucketed_batch, standard_ldpc
+
+    graph, _ = standard_ldpc(mode="DVBS2", n=64800, R="3/5")
+    rng = np.random.default_rng(7)
+    llrs = jnp.asarray(
+        (1.0 + rng.normal(scale=1.5, size=(64800, 2))).astype(np.float32))
+    bk = graph["bk"]
+    out_b, it_b, fail_b = _bp_decode_bucketed_batch(
+        llrs,
+        tuple(jnp.asarray(a) for a in bk["cn_var"]),
+        tuple(jnp.asarray(a) for a in bk["vn_edge"]),
+        tuple(jnp.asarray(a) for a in bk["vn_var"]),
+        jnp.asarray(bk["var_pos"]), 5, "MSA", jnp.float32)
+    dec = fec_qc.make_qc_decoder(64800, "3/5", 5, "MSA", "f32")
+    out_q, it_q, fail_q = dec(llrs)
+    assert np.array_equal(np.asarray(it_b), np.asarray(it_q))
+    assert np.array_equal(np.asarray(fail_b), np.asarray(fail_q))
+    scale = float(jnp.max(jnp.abs(out_b)))
+    assert float(jnp.max(jnp.abs(out_b - out_q))) / scale < 1e-5
+
+
 def test_summarize_alist_folder(tmp_path, capsys):
     from opticommpy_tpu.comm.fec import summarize_alist_folder
 
