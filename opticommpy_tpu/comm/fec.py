@@ -394,7 +394,10 @@ class LDPCConfig:
 
     mode: str = "DVBS2"
     maxIter: int = 25
-    alg: str = "SPA"  # 'SPA' | 'MSA'
+    # 'SPA' | 'MSA' (reference parity) | 'NMSA' (normalized min-sum,
+    # check messages scaled by 0.75 — recovers most of min-sum's ~0.5 dB
+    # loss vs SPA at SPA-free cost; not in the reference)
+    alg: str = "SPA"
     clipLLR: float = 200.0
     # BP message storage dtype: 'f32' or 'bf16'. bf16 halves the decoder's
     # HBM traffic (the E x batch message arrays dominate; DVB-S2 64800b at
@@ -645,6 +648,20 @@ def _bucketize(n, m, rows, cols):
     }
 
 
+# Normalized min-sum scaling (alg='NMSA'). 0.75 is the standard choice
+# (Chen & Fossorier, IEEE Trans. Comm. 2002) and is exact in bf16.
+_NMSA_ALPHA = 0.75
+
+
+def _select_check_update(alg):
+    """Dense-bucket check update for 'SPA' | 'MSA' | 'NMSA'."""
+    if alg == "SPA":
+        return _check_update_spa_dense
+    if alg == "NMSA":
+        return lambda x: _NMSA_ALPHA * _check_update_msa_dense(x)
+    return _check_update_msa_dense
+
+
 def _check_update_spa_dense(x):
     """SPA check update on one exactly-dense (m_b, d_b) bucket.
 
@@ -700,8 +717,7 @@ def _bp_decode_bucketed(llr, cn_var, vn_edge, vn_var, var_pos, max_iter,
     only the stored messages round (bf16: sign and min exact, magnitudes to
     8-bit mantissa — standard min-sum quantization headroom).
     """
-    check_update = (_check_update_spa_dense if alg == "SPA"
-                    else _check_update_msa_dense)
+    check_update = _select_check_update(alg)
     sizes = [a.size for a in cn_var]
     offs = np.concatenate([[0], np.cumsum(sizes)]).tolist()
     edge_var_flat = jnp.concatenate([a.reshape(-1) for a in cn_var])
@@ -801,7 +817,12 @@ def _bp_decode(llr, cn_idx, cn_mask, vn_edge, n, max_iter, alg):
         out_sgn = (1 - 2 * (others % 2)).astype(msg_vc.dtype)
         return jnp.where(cn_mask, out_sgn * out_mag, 0.0)
 
-    check_update = check_update_spa if alg == "SPA" else check_update_msa
+    if alg == "SPA":
+        check_update = check_update_spa
+    elif alg == "NMSA":
+        check_update = lambda x: _NMSA_ALPHA * check_update_msa(x)
+    else:
+        check_update = check_update_msa
 
     def iteration(carry, _):
         msg_vc, done, final_llr, n_iters = carry

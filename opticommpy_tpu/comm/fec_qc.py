@@ -163,7 +163,15 @@ def make_qc_decoder(n, R, max_iter, alg="MSA", msg_dtype="f32"):
     g_tab, s_tab = tb["g_tab"], tb["s_tab"]
     pos_of_g = tb["pos_of_g"]
     order_rows = jnp.asarray(tb["order_rows"])
-    check_update = _check_spa_slots if alg == "SPA" else _check_msa_slots
+    if alg == "SPA":
+        check_update = _check_spa_slots
+    elif alg == "NMSA":
+        # normalized min-sum (alpha=0.75, exact in bf16; see fec._NMSA_ALPHA)
+        def check_update(x):
+            return (0.75 * _check_msa_slots(x).astype(jnp.float32)).astype(
+                x.dtype)
+    else:
+        check_update = _check_msa_slots
     mdt = jnp.bfloat16 if msg_dtype == "bf16" else jnp.float32
 
     def v2c_totals(T, Tp):
