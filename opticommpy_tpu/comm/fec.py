@@ -405,6 +405,11 @@ class LDPCConfig:
     # min-sum (sign/min are exact in bf16; only the stored magnitudes
     # round). Totals/LLRs always accumulate in f32.
     msgDtype: str = "f32"
+    # Stop iterating once EVERY codeword in the batch converged (identical
+    # outputs to the fixed-trip path — per-codeword results freeze at
+    # their own convergence; QC decoder only). while_loop, so wall time
+    # tracks the slowest codeword instead of maxIter.
+    earlyExit: bool = False
 
 
 def _padded_rows(rows, cols, m, dmax=None, fill=0):
@@ -886,7 +891,7 @@ def decode_ldpc(llrs, H=None, config: LDPCConfig = LDPCConfig(), graph=None):
 
         dec = fec_qc.make_qc_decoder(
             qc["n"], qc["R"], int(config.maxIter), config.alg,
-            config.msgDtype)
+            config.msgDtype, bool(config.earlyExit))
         out_llr, n_iters, fail = dec(llrs)
     elif graph.get("bk") is not None:
         bk = graph["bk"]

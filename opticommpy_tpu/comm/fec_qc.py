@@ -150,13 +150,20 @@ def _check_spa_slots(x):
 
 
 @lru_cache(maxsize=None)
-def make_qc_decoder(n, R, max_iter, alg="MSA", msg_dtype="f32"):
+def make_qc_decoder(n, R, max_iter, alg="MSA", msg_dtype="f32",
+                    early_exit=False):
     """Build a jitted ``decode(llrs (n,B) f32) -> (out_llr, n_iters, fail)``.
 
     All graph structure is baked in as static python; the compiled program
     contains only rolls, reshapes and dense slot math. ``msg_dtype`` is the
     storage dtype of the message carry (math always f32), as in
     :func:`fec._bp_decode_bucketed`.
+
+    ``early_exit=True`` runs the iteration as a ``while_loop`` that stops
+    as soon as EVERY codeword in the batch has converged — identical
+    outputs (per-codeword results are frozen at their own convergence
+    either way), but wall time tracks the slowest codeword instead of
+    ``max_iter``. Keep False when benchmarking fixed-iteration throughput.
     """
     tb = qc_tables(R, n)
     k, m, q, G, S = tb["k"], tb["m"], tb["q"], tb["G"], tb["S"]
@@ -241,8 +248,20 @@ def make_qc_decoder(n, R, max_iter, alg="MSA", msg_dtype="f32"):
             done = done | ok
             return (X, done, fT, fTp, n_iters), None
 
-        (_, done, fT, fTp, n_iters), _ = jax.lax.scan(
-            iteration, carry0, None, length=max_iter)
+        if early_exit:
+            def cond(state):
+                it, carry = state
+                return (it < max_iter) & ~jnp.all(carry[1])
+
+            def w_body(state):
+                it, carry = state
+                return it + 1, iteration(carry, None)[0]
+
+            _, (_, done, fT, fTp, n_iters) = jax.lax.while_loop(
+                cond, w_body, (jnp.asarray(0), carry0))
+        else:
+            (_, done, fT, fTp, n_iters), _ = jax.lax.scan(
+                iteration, carry0, None, length=max_iter)
         out_info = fT[jnp.asarray(pos_of_g)].reshape(G * Z, B)
         out_p = fTp.transpose(1, 0, 2).reshape(m, B)
         return jnp.concatenate([out_info, out_p]), n_iters, ~done

@@ -273,6 +273,32 @@ def test_qc_decoder_matches_bucketed():
     assert float(jnp.max(jnp.abs(out_b - out_q))) / scale < 1e-5
 
 
+def test_qc_early_exit_identical_outputs():
+    """earlyExit=True (while_loop, stops when the whole batch converged)
+    returns bit-identical results to the fixed-trip scan path."""
+    import jax.numpy as jnp
+
+    from opticommpy_tpu.comm.fec import standard_ldpc
+
+    graph, edges = standard_ldpc(mode="DVBS2", n=64800, R="4/5")
+    k = 64800 - 12960
+    rng = np.random.default_rng(11)
+    bits = rng.integers(0, 2, size=(k, 2)).astype(np.int8)
+    cw = np.asarray(encode_ldpc(jnp.asarray(bits), edges=edges))
+    sigma = np.sqrt(0.5 * 10 ** (-3.5 / 10))
+    y = (1 - 2.0 * cw) + sigma * rng.normal(size=cw.shape)
+    llr = jnp.asarray((2 * y / sigma**2).astype(np.float32))
+    a = decode_ldpc(llr, graph=graph,
+                    config=LDPCConfig(maxIter=20, alg="MSA"))
+    b = decode_ldpc(llr, graph=graph,
+                    config=LDPCConfig(maxIter=20, alg="MSA",
+                                      earlyExit=True))
+    assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    assert np.array_equal(np.asarray(a[2]), np.asarray(b[2]))
+    assert np.all(np.asarray(a[2]) == 0)  # batch actually converged
+
+
 def test_summarize_alist_folder(tmp_path, capsys):
     from opticommpy_tpu.comm.fec import summarize_alist_folder
 
