@@ -151,7 +151,7 @@ def _check_spa_slots(x):
 
 @lru_cache(maxsize=None)
 def make_qc_decoder(n, R, max_iter, alg="MSA", msg_dtype="f32",
-                    early_exit=False):
+                    early_exit=False, backend="auto"):
     """Build a jitted ``decode(llrs (n,B) f32) -> (out_llr, n_iters, fail)``.
 
     All graph structure is baked in as static python; the compiled program
@@ -170,7 +170,22 @@ def make_qc_decoder(n, R, max_iter, alg="MSA", msg_dtype="f32",
     g_tab, s_tab = tb["g_tab"], tb["s_tab"]
     pos_of_g = tb["pos_of_g"]
     order_rows = jnp.asarray(tb["order_rows"])
-    if alg == "SPA":
+    # ``backend``: 'pallas' fuses the check update into one VMEM-resident
+    # Pallas pass (one HBM read + one write vs ~5 re-streams as XLA slab
+    # ops); 'auto' uses it for MSA/NMSA on accelerator backends and the
+    # XLA chain on CPU (where Pallas needs interpret mode). Results are
+    # bit-identical either way.
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and alg in ("MSA", "NMSA")
+        and jax.default_backend() != "cpu")
+    if use_pallas:
+        from opticommpy_tpu.kernels.ldpc_pallas import check_update_msa_pallas
+
+        alpha = 0.75 if alg == "NMSA" else None
+
+        def check_update(x):
+            return check_update_msa_pallas(x, alpha)
+    elif alg == "SPA":
         check_update = _check_spa_slots
     elif alg == "NMSA":
         # normalized min-sum (alpha=0.75, exact in bf16; see fec._NMSA_ALPHA)

@@ -217,3 +217,24 @@ def test_ffe_pallas_matches_scan():
                             interpret=True)
     np.testing.assert_allclose(np.asarray(yb[0]), np.asarray(y2),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_ldpc_check_update_pallas_bit_identical():
+    """The fused LDPC check-update kernel == the XLA slab chain, bit for
+    bit (f32 and bf16, plain and normalized min-sum), masked slot incl."""
+    import numpy as np
+
+    from opticommpy_tpu.comm import fec_qc
+    from opticommpy_tpu.kernels.ldpc_pallas import check_update_msa_pallas
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(18, 2, 360, 128)).astype(np.float32))
+    for cast in (lambda a: a, lambda a: a.astype(jnp.bfloat16)):
+        xj = cast(x).at[17, 0, 0].set(jnp.inf)  # no p_{-1} at check 0
+        for alpha in (None, 0.75):
+            ref = fec_qc._check_msa_slots(xj)
+            if alpha is not None:
+                ref = (alpha * ref.astype(jnp.float32)).astype(xj.dtype)
+            out = check_update_msa_pallas(xj, alpha, interpret=True)
+            assert out.dtype == xj.dtype
+            assert bool(jnp.all(ref == out))
