@@ -12,8 +12,8 @@ Measured on TPU v5e (2026-08): n=16200 MSA 41 Mbit/s, SPA 40 Mbit/s at
 B=128 (the 26 ms/dispatch tunnel overhead included; ~84 Mbit/s net).
 DVB-S2 64800b R4/5, 20 iters, B=128: gather-path 34 (f32) / 40 (bf16)
 Mbit/s; quasi-cyclic roll-path (fec_qc, the decode_ldpc default for
-DVB-S2) 99 (f32) / 157 (bf16) Mbit/s with the fused Pallas check update
-(kernels/ldpc_pallas.py; 68 / 138.5 with the XLA slab-chain update).
+DVB-S2) 111 (f32) / 173 (bf16) Mbit/s with the fused Pallas check update
+(kernels/ldpc_pallas.py; 74 / 154 with the XLA slab-chain update).
 """
 
 import json

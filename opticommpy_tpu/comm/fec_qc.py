@@ -258,10 +258,14 @@ def make_qc_decoder(n, R, max_iter, alg="MSA", msg_dtype="f32",
                 jnp.sum(bits, axis=0, dtype=jnp.int8) % 2 == 0, axis=(0, 1))
             fT = jnp.where(done, fT, T)
             fTp = jnp.where(done, fTp, Tp)
-            X = jnp.where(done, X, Xn)
+            # X itself is deliberately NOT frozen: every observable output
+            # (fT, fTp, n_iters, fail) is frozen above and ``done``
+            # latches, so letting a converged codeword's messages keep
+            # updating is unobservable — and skipping the select saves a
+            # full re-read of the old message tensor each iteration.
             n_iters = jnp.where(done, n_iters, n_iters + 1)
             done = done | ok
-            return (X, done, fT, fTp, n_iters), None
+            return (Xn, done, fT, fTp, n_iters), None
 
         if early_exit:
             def cond(state):

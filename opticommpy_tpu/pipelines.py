@@ -33,7 +33,8 @@ from opticommpy_tpu.ops.filtering import fir_filter, pulse_shape
 from opticommpy_tpu.ops.signal import decimate, pnorm
 
 __all__ = ["CoherentDSPConfig", "coherent_dsp_chain", "coherent_dsp_chain_ri",
-           "coherent_dsp_chain_batch", "coherent_dsp_serve"]
+           "coherent_dsp_chain_batch", "coherent_dsp_serve",
+           "coherent_coded_serve"]
 
 
 @dataclass(frozen=True)
@@ -268,3 +269,83 @@ def coherent_dsp_chain_batch(sig_batch, symb_ref_batch,
     phases = jnp.unwrap(4 * phases, axis=0) / 4
     out = (y_cols * jnp.exp(1j * phases)).reshape(n_sym, b, m)
     return jnp.moveaxis(out, 1, 0), phases
+
+
+def coherent_coded_serve(sig_batch, H_batch,
+                         config: CoherentDSPConfig = CoherentDSPConfig(),
+                         noise_var=0.05, fec_graph=None, fec_config=None,
+                         scale=None, pilot_grid=None):
+    """Complete coded coherent receiver, composable as ONE program.
+
+    :func:`coherent_dsp_serve` (fused LTI front end + lane-packed Pallas
+    BPS) -> bit LLRs as MXU contractions (:func:`~opticommpy_tpu.comm.
+    metrics.calc_llr`) -> LDPC belief propagation (the quasi-cyclic
+    roll-based decoder for DVB-S2 graphs). The reference composes these
+    stages eagerly across notebook cells (test_WDM_transmission +
+    test_fec.ipynb); here the whole receive path traces into a single
+    XLA program — on the TPU tunnel that is the difference between one
+    ~26 ms dispatch and dozens.
+
+    Framing: per signal, the recovered (nSym, modes) symbol grid is read
+    mode-major (all of mode 0's symbols, then mode 1's, ...), each symbol
+    contributing log2(M) interleaved bits in :func:`calc_llr` order; the
+    bit-LLR stream is chopped into consecutive length-n codewords and any
+    tail bits beyond the last whole codeword are discarded.
+
+    Parameters
+    ----------
+    sig_batch : (B, N, modes) received signals at ``SpS_dsp``.
+    H_batch : (B, modes, modes, nTaps) converged equalizer taps.
+    noise_var : per-symbol noise variance for the LLR model (scalar).
+    fec_graph : decoding graph from :func:`~opticommpy_tpu.comm.fec.
+        standard_ldpc` / ``ldpc_graph`` (default: DVB-S2 64800b R4/5).
+    fec_config : :class:`~opticommpy_tpu.comm.fec.LDPCConfig`
+        (default: 20-iteration bf16 NMSA).
+    pilot_grid : optional (B, P, modes) known leading tx symbols (any
+        scale). Blind BPS carries a k*pi/2 phase ambiguity per column
+        (square-QAM symmetry; same in the reference's bps,
+        carrierRecovery.py:171); correlating the first P recovered
+        symbols against the pilots resolves k per (signal, mode) before
+        demapping. Without pilots the caller must resolve the ambiguity
+        upstream (e.g. differential coding).
+
+    Returns
+    -------
+    (decoded_bits (n, n_codewords), frame_fail (n_codewords,),
+     symbols (B, nSym, modes)) — codeword c of signal b is column
+    ``b * (n_codewords // B) + c``.
+    """
+    from opticommpy_tpu.comm.fec import LDPCConfig, decode_ldpc, standard_ldpc
+    from opticommpy_tpu.comm.metrics import calc_llr
+    from opticommpy_tpu.comm.modulation import bit_map
+
+    if fec_graph is None:
+        fec_graph, _ = standard_ldpc("DVBS2", 64800, "4/5")
+    if fec_config is None:
+        fec_config = LDPCConfig(maxIter=20, alg="NMSA", msgDtype="bf16")
+    out, _ = coherent_dsp_serve(sig_batch, H_batch, config, scale)
+    out3 = out if out.ndim == 3 else out[None]
+    B, n_sym, modes = out3.shape
+    if pilot_grid is not None:
+        pg = jnp.asarray(pilot_grid)
+        pg = pg if pg.ndim == 3 else pg[None]
+        P = pg.shape[1]
+        c = jnp.sum(out3[:, :P] * jnp.conj(pg), axis=1)  # (B, modes)
+        k = jnp.round(jnp.angle(c) / (jnp.pi / 2)) % 4
+        out3 = out3 * jnp.exp(-1j * (jnp.pi / 2) * k)[:, None, :]
+    const = gray_mapping(config.M, "qam")
+    const = jnp.asarray(
+        (const / np.sqrt(np.mean(np.abs(const) ** 2))).astype(np.complex64))
+    bmap = bit_map(config.M, "qam")
+    px = jnp.full(config.M, 1.0 / config.M)
+    ys = jnp.moveaxis(out3, 2, 1).reshape(B, modes * n_sym)  # mode-major
+    llr = jax.vmap(
+        lambda y: calc_llr(y, noise_var, const, bmap, px))(ys)  # (B, bits)
+    n_code = fec_graph["n"]
+    ncw = llr.shape[1] // n_code
+    if ncw == 0:
+        raise ValueError(
+            f"{llr.shape[1]} bits/signal < one length-{n_code} codeword")
+    llr_cols = llr[:, :ncw * n_code].reshape(B * ncw, n_code).T
+    bits, _, fail = decode_ldpc(llr_cols, graph=fec_graph, config=fec_config)
+    return bits, fail, (out3[0] if out.ndim == 2 else out3)

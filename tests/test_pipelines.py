@@ -216,3 +216,68 @@ def test_coherent_dsp_chain_batch_converges():
         ber, _, _ = fast_ber_calc(y_b[i, disc:-100], ref_b[i][disc:-100],
                                   16, "qam")
         assert float(jnp.max(ber)) < 1e-2, (i, np.asarray(ber))
+
+
+def test_coherent_coded_serve_end_to_end():
+    """Complete coded receiver in one jit: serving DSP chain -> MXU bit
+    LLRs -> LDPC BP. Loopback RRC 16QAM with AWGN; all codewords clear of
+    the FIR edge transients decode error-free (802.11n 648b R1/2)."""
+    from opticommpy_tpu.comm.codes import ldpc_parity_matrix
+    from opticommpy_tpu.comm.fec import (
+        LDPCConfig,
+        encode_ldpc,
+        ldpc_graph,
+        triang_p1p2,
+    )
+    from opticommpy_tpu.comm.modulation import modulate_gray
+    from opticommpy_tpu.ops.signal import upsample
+    from opticommpy_tpu.pipelines import coherent_coded_serve
+
+    H = ldpc_parity_matrix(mode="IEEE_802.11nD2", n=648, R="1/2")
+    rng = np.random.default_rng(9)
+    n_sym, modes, bps = 1024, 2, 4
+    nbits = n_sym * modes * bps  # 8192 -> 12 codewords + tail
+    ncw = nbits // 648
+    msg = rng.integers(0, 2, size=(324, ncw))
+    # triangular encoding when possible, generator fallback otherwise
+    P1, P2, Hm = triang_p1p2(H)
+    if P1 is not None:
+        cw = np.asarray(encode_ldpc(jnp.asarray(msg), H=Hm, P1=P1, P2=P2,
+                                    config=LDPCConfig(mode="triang")))
+    else:
+        from opticommpy_tpu.comm.fec import par2gen
+
+        G, _, Hm = par2gen(H)
+        cw = np.asarray(encode_ldpc(jnp.asarray(msg), H=Hm,
+                                    config=LDPCConfig(mode="G"), G=G))
+    graph = ldpc_graph(Hm)
+    stream = np.concatenate(
+        [cw.T.reshape(-1), rng.integers(0, 2, size=nbits - 648 * ncw)])
+    syms = np.asarray(modulate_gray(jnp.asarray(stream), 16, "qam"))
+    grid = syms.reshape(modes, n_sym).T  # mode-major framing of the serve
+    # RRC shaping at SpS_dsp (odd taps: no half-sample shift; CLAUDE.md)
+    sps, taps = 2, 257
+    pulse = jnp.asarray(pulse_shape("rrc", sps, taps, 0.01))
+    wav = fir_filter(pulse, upsample(jnp.asarray(grid), sps))
+    wav = wav + 0.02 * (rng.normal(size=wav.shape)
+                        + 1j * rng.normal(size=wav.shape))
+    Hb = np.zeros((1, 2, 2, 15), np.complex64)
+    Hb[:, 0, 0, 7] = Hb[:, 1, 1, 7] = 1
+    cfg = CoherentDSPConfig(nFilterTaps=taps, L=0.5, cpr_window=33,
+                            cpr_phases=32, M=16)
+    fcfg = LDPCConfig(maxIter=30, alg="NMSA")
+    # pilots resolve the blind-CPR k*pi/2 ambiguity per (signal, mode)
+    pilots = jnp.asarray(
+        (grid[:64] / np.sqrt(np.mean(np.abs(grid) ** 2)))[None])
+    run = jax.jit(lambda s, h, p: coherent_coded_serve(
+        s, h, cfg, 0.05, fec_graph=graph, fec_config=fcfg, pilot_grid=p))
+    bits, fail, out = run(jnp.asarray(wav.astype(np.complex64))[None],
+                          jnp.asarray(Hb), pilots)
+    assert bits.shape == (648, ncw)
+    # codewords overlapping the tx/MF edge transients may fail; everything
+    # clear of them must decode exactly
+    clean = [1, 2, 3, 4, 8, 9, 10]
+    fail = np.asarray(fail)
+    assert fail[clean].sum() == 0, fail
+    assert np.array_equal(np.asarray(bits)[:, clean], cw[:, clean])
+    assert fail.sum() <= 5, fail
