@@ -8,12 +8,11 @@ reference's `test_fec.ipynb` workload, run as one jitted program per
 Prints one JSON line per configuration. Not invoked by the driver (bench.py
 is the headline); run manually: ``python bench_fec.py [--cpu]``.
 
-Measured on TPU v5e (2026-08): n=16200 MSA 41 Mbit/s, SPA 40 Mbit/s at
-B=128 (the 26 ms/dispatch tunnel overhead included; ~84 Mbit/s net).
-DVB-S2 64800b R4/5, 20 iters, B=128: gather-path 34 (f32) / 40 (bf16)
-Mbit/s; quasi-cyclic roll-path (fec_qc, the decode_ldpc default for
-DVB-S2) 111 (f32) / 173 (bf16) Mbit/s with the fused Pallas check update
-(kernels/ldpc_pallas.py; 74 / 154 with the XLA slab-chain update).
+Measured on TPU v5e (2026-08): n=16200 MSA 53.8, SPA 56.2 Mbit/s at
+B=128 (26 ms/dispatch tunnel overhead included). DVB-S2 64800b R4/5,
+20 iters: gather-path 28-33 Mbit/s; quasi-cyclic roll-path (fec_qc, the
+decode_ldpc default for DVB-S2, fused Pallas check update) 117 (f32) /
+173 (bf16) Mbit/s at B=128 and 122 / 205.9 at B=256.
 """
 
 import json

@@ -1,0 +1,130 @@
+"""Complete coded coherent receiver in ONE program: DSP + LLR + DVB-S2 FEC.
+
+`coherent_coded_serve` traces the whole steady-state receive path into a
+single XLA program: the fused LTI front end (matched filter + CD
+compensation + pnorm + frozen MIMO taps as one decimating frequency-domain
+filter), lane-packed Pallas BPS carrier recovery, MXU bit-LLR contraction,
+and quasi-cyclic LDPC belief propagation. The reference runs these stages
+eagerly across notebook cells (test_WDM_transmission.ipynb +
+test_fec.ipynb); here one dispatch decodes every codeword of the batch.
+
+A k*pi/2 blind-CPR phase ambiguity is resolved against a short pilot
+block per (signal, mode).
+
+Usage: python examples/coded_receiver_serve.py [--cpu]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--cpu" in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.argv.remove("--cpu")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from opticommpy_tpu.comm.fec import LDPCConfig, encode_ldpc, standard_ldpc
+from opticommpy_tpu.comm.modulation import modulate_gray
+from opticommpy_tpu.ops.filtering import fir_filter, pulse_shape
+from opticommpy_tpu.ops.signal import upsample
+from opticommpy_tpu.pipelines import CoherentDSPConfig, coherent_coded_serve
+
+FAST = os.environ.get("OPTICOMMPY_TPU_FAST") == "1"
+
+
+def main():
+    rng = np.random.default_rng(1)
+    if FAST:
+        # CI size: one 802.11n 1944b codeword per signal
+        from opticommpy_tpu.comm.codes import ldpc_parity_matrix
+        from opticommpy_tpu.comm.fec import ldpc_graph, par2gen, triang_p1p2
+
+        H = ldpc_parity_matrix(mode="IEEE_802.11nD2", n=1944, R="1/2")
+        P1, P2, Hm = triang_p1p2(H)
+        if P1 is not None:
+            enc = lambda b: encode_ldpc(b, H=Hm, P1=P1, P2=P2,
+                                        config=LDPCConfig(mode="triang"))
+        else:
+            G, _, Hm = par2gen(H)
+            enc = lambda b: encode_ldpc(b, H=Hm, G=G,
+                                        config=LDPCConfig(mode="G"))
+        graph = ldpc_graph(Hm)
+        n_code, k_code = 1944, 972
+        B, n_sym = 1, 256
+    else:
+        # DVB-S2 64800b R4/5: 8 polmux signals x 2^16 symbols = 64 codewords
+        graph, edges = standard_ldpc("DVBS2", 64800, "4/5")
+        enc = lambda b: encode_ldpc(b, edges=edges)
+        n_code, k_code = 64800, 51840
+        B, n_sym = 8, 2**16
+    modes, bps = 2, 4  # polmux 16QAM
+    nbits = n_sym * modes * bps
+    ncw = nbits // n_code
+    print(f"{B} signals x {n_sym} syms -> {B * ncw} codewords of {n_code}b")
+
+    msg = rng.integers(0, 2, size=(k_code, B * ncw)).astype(np.int8)
+    cw = np.asarray(enc(jnp.asarray(msg)))
+    sps, taps = 2, 257
+    pulse = jnp.asarray(pulse_shape("rrc", sps, taps, 0.01))
+    grids, wavs = [], []
+    for b in range(B):
+        stream = np.concatenate([
+            cw[:, b * ncw:(b + 1) * ncw].T.reshape(-1),
+            rng.integers(0, 2, size=nbits - ncw * n_code)])
+        syms = np.asarray(modulate_gray(jnp.asarray(stream), 16, "qam"))
+        grid = syms.reshape(modes, n_sym).T
+        grids.append(grid)
+    grids = np.stack(grids)
+    wav = jax.vmap(lambda g: fir_filter(pulse, upsample(g, sps)))(
+        jnp.asarray(grids.astype(np.complex64)))
+    wav = np.asarray(wav) + 0.05 * (
+        rng.normal(size=wav.shape) + 1j * rng.normal(size=wav.shape))
+
+    Hb = np.zeros((B, 2, 2, 15), np.complex64)
+    Hb[:, 0, 0, 7] = Hb[:, 1, 1, 7] = 1
+    cfg = CoherentDSPConfig(nFilterTaps=taps, L=0.5, cpr_window=33,
+                            cpr_phases=32, M=16)
+    fcfg = LDPCConfig(maxIter=20, alg="NMSA", msgDtype="bf16")
+    pilots = jnp.asarray(
+        grids[:, :64] / np.sqrt(np.mean(np.abs(grids) ** 2)))
+
+    # f32 real/imag boundary: complex host->device transfers are
+    # unsupported on the TPU tunnel (combine re/im INSIDE the jit)
+    @jax.jit
+    def run(wr, wi, hr, hi, pr, pi):
+        bits, fail, _ = coherent_coded_serve(
+            wr + 1j * wi, hr + 1j * hi, cfg, 0.02, fec_graph=graph,
+            fec_config=fcfg, pilot_grid=pr + 1j * pi)
+        return bits, fail
+
+    pil = np.asarray(pilots)
+    args = tuple(jnp.asarray(a.astype(np.float32)) for pair in
+                 ((wav.real, wav.imag), (Hb.real, Hb.imag),
+                  (pil.real, pil.imag)) for a in pair)
+    import time
+    t0 = time.perf_counter()
+    bits, fail = jax.tree.map(np.asarray, run(*args))
+    print(f"compile+run {time.perf_counter() - t0:.1f} s")
+    t0 = time.perf_counter()
+    bits, fail = jax.tree.map(np.asarray, run(*args))
+    dt = time.perf_counter() - t0
+    n_info = k_code * bits.shape[1]
+    print(f"one dispatch: {dt * 1e3:.1f} ms -> "
+          f"{B * n_sym / dt / 1e6:.2f} Msym/s, "
+          f"{n_info / dt / 1e6:.1f} Mbit/s information throughput")
+    # codewords away from filter edge transients must be error-free
+    errs = (bits != cw).sum(axis=0)
+    print("frame fails:", int(fail.sum()), "/", bits.shape[1],
+          "| bit errors per codeword (first 8):", errs[:8].tolist())
+
+
+if __name__ == "__main__":
+    main()
