@@ -184,6 +184,35 @@ def run_dsp_chain(batch=8):
     return batch * bench_dsp.N_SYM / min(times) / 1e6
 
 
+def run_fec_decode(batch=128):
+    """DVB-S2 64800b R4/5 BP decode (20 iters, min-sum, bf16), Mbit/s.
+
+    The quasi-cyclic roll-based decoder (comm/fec_qc.py) with the fused
+    Pallas check update — the decode_ldpc default for DVB-S2 graphs;
+    bench_fec.py has the layout/dtype/batch sweep.
+    """
+    import jax.numpy as jnp
+
+    from opticommpy_tpu.comm import fec_qc
+
+    dec = fec_qc.make_qc_decoder(64800, "4/5", 20, "MSA", "bf16")
+    rng = np.random.default_rng(0)
+    llrs = jnp.asarray(
+        (2.0 + rng.normal(scale=1.2, size=(64800, batch))).astype(np.float32))
+
+    def run():
+        out, iters, fail = dec(llrs)
+        return float(jnp.mean(out) + jnp.sum(iters) + jnp.sum(fail))
+
+    run()  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return 64800 * batch / min(times) / 1e6
+
+
 _BF16_PEAK = {  # per-chip dense bf16 matmul peak, FLOP/s
     "v4": 275e12,
     "v5e": 197e12, "v5 lite": 197e12, "v5litepod": 197e12,
@@ -245,6 +274,11 @@ def main():
         chain = round(run_dsp_chain(), 3)
     except Exception:  # auxiliary metric must never break the headline
         pass
+    fec_mbps = None
+    try:
+        fec_mbps = round(run_fec_decode(), 1)
+    except Exception:
+        pass
     tpu_sps = run_tpu()
     base_sps = run_numpy_baseline()
     result = {
@@ -257,6 +291,8 @@ def main():
     result.update(flop_analytics(tpu_sps))
     if chain is not None:
         result["dsp_chain_Msym_per_s_batch8"] = chain
+    if fec_mbps is not None:
+        result["dvbs2_decode_Mbit_per_s_b128"] = fec_mbps
     print(json.dumps(result))
 
 
