@@ -11,6 +11,11 @@ test_fec.ipynb); here one dispatch decodes every codeword of the batch.
 A k*pi/2 blind-CPR phase ambiguity is resolved against a short pilot
 block per (signal, mode).
 
+Measured on TPU v5e (2026-08): 8 polmux-16QAM signals x 65536 symbols ->
+64 DVB-S2 64800b R4/5 codewords, all error-free, in one 213 ms dispatch:
+2.46 Msym/s (15.6 Mbit/s information) for the COMPLETE receiver
+including 20 NMSA BP iterations.
+
 Usage: python examples/coded_receiver_serve.py [--cpu]
 """
 
@@ -32,7 +37,6 @@ import jax
 import jax.numpy as jnp
 
 from opticommpy_tpu.comm.fec import LDPCConfig, encode_ldpc, standard_ldpc
-from opticommpy_tpu.comm.modulation import modulate_gray
 from opticommpy_tpu.ops.filtering import fir_filter, pulse_shape
 from opticommpy_tpu.ops.signal import upsample
 from opticommpy_tpu.pipelines import CoherentDSPConfig, coherent_coded_serve
@@ -74,27 +78,37 @@ def main():
     cw = np.asarray(enc(jnp.asarray(msg)))
     sps, taps = 2, 257
     pulse = jnp.asarray(pulse_shape("rrc", sps, taps, 0.01))
-    grids, wavs = [], []
+    # host-side Tx prep (eager complex-producing device ops are
+    # UNIMPLEMENTED on the TPU tunnel — CLAUDE.md)
+    from opticommpy_tpu.comm.modulation import gray_mapping
+
+    const_np = np.asarray(gray_mapping(16, "qam"))
+    weights = 1 << np.arange(bps - 1, -1, -1)
+    grids = []
     for b in range(B):
         stream = np.concatenate([
             cw[:, b * ncw:(b + 1) * ncw].T.reshape(-1),
             rng.integers(0, 2, size=nbits - ncw * n_code)])
-        syms = np.asarray(modulate_gray(jnp.asarray(stream), 16, "qam"))
-        grid = syms.reshape(modes, n_sym).T
-        grids.append(grid)
-    grids = np.stack(grids)
-    wav = jax.vmap(lambda g: fir_filter(pulse, upsample(g, sps)))(
-        jnp.asarray(grids.astype(np.complex64)))
-    wav = np.asarray(wav) + 0.05 * (
-        rng.normal(size=wav.shape) + 1j * rng.normal(size=wav.shape))
+        syms = const_np[(stream.reshape(-1, bps) * weights).sum(1)]
+        grids.append(syms.reshape(modes, n_sym).T)
+    grids = np.stack(grids).astype(np.complex64)
+
+    @jax.jit
+    def shape_tx(gr, gi):
+        w = jax.vmap(lambda x: fir_filter(pulse, upsample(x, sps)))(
+            gr + 1j * gi)
+        return jnp.real(w), jnp.imag(w)
+
+    wr, wi = shape_tx(jnp.asarray(grids.real), jnp.asarray(grids.imag))
+    wav = (np.asarray(wr) + 1j * np.asarray(wi)) + 0.05 * (
+        rng.normal(size=wr.shape) + 1j * rng.normal(size=wr.shape))
 
     Hb = np.zeros((B, 2, 2, 15), np.complex64)
     Hb[:, 0, 0, 7] = Hb[:, 1, 1, 7] = 1
     cfg = CoherentDSPConfig(nFilterTaps=taps, L=0.5, cpr_window=33,
                             cpr_phases=32, M=16)
     fcfg = LDPCConfig(maxIter=20, alg="NMSA", msgDtype="bf16")
-    pilots = jnp.asarray(
-        grids[:, :64] / np.sqrt(np.mean(np.abs(grids) ** 2)))
+    pil = grids[:, :64] / np.sqrt(np.mean(np.abs(grids) ** 2))
 
     # f32 real/imag boundary: complex host->device transfers are
     # unsupported on the TPU tunnel (combine re/im INSIDE the jit)
@@ -105,7 +119,6 @@ def main():
             fec_config=fcfg, pilot_grid=pr + 1j * pi)
         return bits, fail
 
-    pil = np.asarray(pilots)
     args = tuple(jnp.asarray(a.astype(np.float32)) for pair in
                  ((wav.real, wav.imag), (Hb.real, Hb.imag),
                   (pil.real, pil.imag)) for a in pair)
