@@ -29,6 +29,13 @@ import subprocess
 import sys
 import time
 
+if "--cpu" in sys.argv:  # debug runs must never grab the single-tenant TPU
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.argv.remove("--cpu")
+
 import numpy as np
 
 
