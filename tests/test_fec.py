@@ -392,3 +392,38 @@ def test_bucketed_graph_handles_isolated_variables():
                                                            alg="MSA"))
     np.testing.assert_allclose(np.asarray(out)[7], -1.25)
     assert np.all(np.asarray(dec)[7] == 1)
+
+
+def test_qc_tables_cover_all_dvbs2_rates():
+    """The QC addressing tables reproduce the exact edge set of every
+    shipped DVB-S2 rate (info part: one roll per (column, slot) entry;
+    parity part: the staircase) — so the roll-based decoder is walking
+    the same Tanner graph as the general decoder for all 11 codes."""
+    from opticommpy_tpu.comm import fec_qc
+    from opticommpy_tpu.comm.codes import available_ldpc_codes, dvbs2_edges
+
+    rates = [R for (mode, n, R) in available_ldpc_codes()
+             if mode == "DVBS2" and n == 64800]
+    assert len(rates) == 11
+    for R in rates:
+        n, m, rows, cols = dvbs2_edges(R, 64800)
+        tb = fec_qc.qc_tables(R, 64800)
+        q, S, k = tb["q"], tb["S"], tb["k"]
+        Z = fec_qc.Z
+        g_tab, s_tab = tb["g_tab"], tb["s_tab"]
+        # rebuild the info edge set from the QC tables
+        s = np.arange(Z)
+        qc_rows, qc_cols = [], []
+        for a0 in range(q):
+            for sl in range(S):
+                g, x1 = int(g_tab[a0, sl]), int(s_tab[a0, sl])
+                t = (s - x1) % Z  # check row s <- variable (g, t)
+                qc_rows.append(a0 + q * s)
+                qc_cols.append(360 * g + t)
+        j = np.arange(m)
+        qc_rows.append(np.concatenate([j, j[:-1] + 1]))
+        qc_cols.append(np.concatenate([k + j, k + j[:-1]]))
+        qc = set(zip(np.concatenate(qc_rows).tolist(),
+                     np.concatenate(qc_cols).tolist()))
+        ref = set(zip(np.asarray(rows).tolist(), np.asarray(cols).tolist()))
+        assert qc == ref, f"rate {R}: QC edge set mismatch"
