@@ -227,6 +227,99 @@ _BF16_PEAK = {  # per-chip dense bf16 matmul peak, FLOP/s
     "v6e": 918e12, "v6 lite": 918e12,
 }
 
+_HBM_PEAK = {  # per-chip HBM bandwidth, bytes/s
+    "v4": 1228e9,
+    "v5e": 819e9, "v5 lite": 819e9, "v5litepod": 819e9,
+    "v5p": 2765e9, "v5": 2765e9,
+    "v6e": 1640e9, "v6 lite": 1640e9,
+}
+
+
+def _chip_hbm_peak():
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return None
+    for tag, peak in sorted(_HBM_PEAK.items(), key=lambda kv: -len(kv[0])):
+        if tag in kind:
+            return peak
+    return None
+
+
+def _fft_pair_bound_s(n, n_pol=2):
+    """Analytic roofline for one permuted-order matmul fft+ifft pair.
+
+    Per radix-r stage and polarization: the MXU executes 8*N*r real FLOPs
+    (r complex MACs per output element), times 6 bf16 passes at
+    precision='highest' f32 emulation; HBM moves the N-point c64 field in
+    and out (16N bytes) plus the level-0 twiddle table (8N bytes — deeper
+    levels broadcast a small table). Each stage is bounded by
+    max(compute, bandwidth); the pair costs 2x the stage sum. This is the
+    machine-checked form of docs/design.md §5's roofline claim.
+    """
+    peak_mxu = _chip_peak_bf16()
+    peak_bw = _chip_hbm_peak()
+    if not peak_mxu or not peak_bw:
+        return None
+    from opticommpy_tpu.kernels.matmul_fft import _factorize
+
+    bound = 0.0
+    for level, r in enumerate(_factorize(n)):
+        compute = 6 * 8 * n * r / peak_mxu
+        twiddle_bytes = 8 * n if level == 0 else 0
+        bw = (16 * n + twiddle_bytes) / peak_bw
+        bound += max(compute, bw)
+    return 2 * n_pol * bound
+
+
+def run_fft_roofline():
+    """Measured matmul-FFT pair time vs its analytic roofline bound.
+
+    Times K in-jit roundtrips of the (2, 2^20) c64 bench field through the
+    permuted-order fwd/inv pair (kernels/matmul_fft.py) — the exact hot op
+    of the fused SSFM — using a two-point slope so the ~25 ms tunnel
+    dispatch overhead cancels. Returns (pair_seconds, roofline_frac).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from opticommpy_tpu.kernels.matmul_fft import fwd_factory
+
+    fwd, inv, _ = fwd_factory(N_SAMPLES)
+
+    def loop(k):
+        @jax.jit
+        def run(field_ri):
+            e = field_ri[..., 0] + 1j * field_ri[..., 1]
+            e = e.T  # (2, N)
+
+            def body(x, _):
+                return inv(fwd(x)), None
+
+            out, _ = jax.lax.scan(body, e, None, length=k)
+            return jnp.mean((out * jnp.conj(out)).real)
+
+        return run
+
+    x = jnp.asarray(_field())
+    k1, k2 = 8, 72
+    r1, r2 = loop(k1), loop(k2)
+    float(r1(x)), float(r2(x))  # compile both
+    t1 = min(_timed(lambda: float(r1(x))) for _ in range(3))
+    t2 = min(_timed(lambda: float(r2(x))) for _ in range(3))
+    pair_s = (t2 - t1) / (k2 - k1)
+    bound = _fft_pair_bound_s(N_SAMPLES)
+    frac = bound / pair_s if bound and pair_s > 0 else None
+    return pair_s, frac
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
 
 def _chip_peak_bf16():
     try:
@@ -286,6 +379,11 @@ def main():
         fec_mbps = round(run_fec_decode(), 1)
     except Exception:
         pass
+    fft_pair = fft_frac = None
+    try:
+        fft_pair, fft_frac = run_fft_roofline()
+    except Exception:
+        pass
     tpu_sps = run_tpu()
     base_sps = run_numpy_baseline()
     result = {
@@ -300,6 +398,10 @@ def main():
         result["dsp_chain_Msym_per_s_batch8"] = chain
     if fec_mbps is not None:
         result["dvbs2_decode_Mbit_per_s_b128"] = fec_mbps
+    if fft_pair is not None:
+        result["fft_pair_us"] = round(fft_pair * 1e6, 1)
+    if fft_frac is not None:
+        result["fft_roofline_frac"] = round(fft_frac, 3)
     print(json.dumps(result))
 
 

@@ -67,14 +67,19 @@ def check_update_msa_pallas(x, alpha=None, interpret=False):
     # tile height: divide the (q*Z = 360q) row axis; kernel math is f32
     # regardless of storage dtype, so budget ~6 live f32 buffers (in + out
     # + prefix/suffix temporaries) inside the 16 MB VMEM
-    rt = 360 if D * 360 * B * 4 * 6 <= 12 * 2**20 else 120
-    if rows % rt:  # non-QC shapes: fall back to any multiple-of-8 divisor
-        for cand in (240, 120, 40, 8):
-            if rows % cand == 0:
-                rt = cand
-                break
-        else:
-            raise ValueError(f"row count {rows} not tileable")
+    def fits(cand):
+        return D * cand * B * 4 * 6 <= 12 * 2**20
+
+    rt = None
+    for cand in (360, 240, 120, 40, 8):
+        if rows % cand == 0 and fits(cand):
+            rt = cand
+            break
+    if rt is None:
+        raise ValueError(
+            f"no VMEM-feasible row tile for rows={rows}, D={D}, B={B}: "
+            f"even an 8-row tile needs {D * 8 * B * 4 * 6} bytes of the "
+            f"~12 MB budget — reduce the batch size")
     out = pl.pallas_call(
         partial(_msa_body, D=D, alpha=alpha),
         grid=(rows // rt,),
