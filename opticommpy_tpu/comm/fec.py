@@ -583,6 +583,11 @@ def standard_ldpc(mode="DVBS2", n=64800, R="4/5"):
         # quasi-cyclic layout: BP via cyclic rolls instead of gathers
         # (fec_qc.py; ~7x decode throughput on TPU at n=64800)
         graph["qc"] = {"n": n, "R": R if isinstance(R, str) else str(R)}
+    else:
+        # 802.11n / AR4JA are lifted-circulant too: same roll-based
+        # decode through the generic lift layout (fec_lift.py)
+        graph["lift"] = {"mode": mode, "n": n,
+                         "R": R if isinstance(R, str) else str(R)}
     return graph, edges
 
 
@@ -885,6 +890,14 @@ def decode_ldpc(llrs, H=None, config: LDPCConfig = LDPCConfig(), graph=None):
         llrs = jnp.pad(llrs, ((0, n - n_in), (0, 0)))
 
     qc = graph.get("qc")
+    lift = graph.get("lift")
+    if config.earlyExit and qc is None and lift is None:
+        import warnings
+
+        warnings.warn(
+            "LDPCConfig.earlyExit is only implemented for lifted-circulant "
+            "graphs (DVB-S2 / 802.11n / AR4JA); this code decodes with "
+            "fixed maxIter trips.", stacklevel=2)
     if qc is not None:
         # DVB-S2 quasi-cyclic path: permutations as cyclic rolls (fec_qc.py)
         from opticommpy_tpu.comm import fec_qc
@@ -892,6 +905,14 @@ def decode_ldpc(llrs, H=None, config: LDPCConfig = LDPCConfig(), graph=None):
         dec = fec_qc.make_qc_decoder(
             qc["n"], qc["R"], int(config.maxIter), config.alg,
             config.msgDtype, bool(config.earlyExit))
+        out_llr, n_iters, fail = dec(llrs)
+    elif lift is not None:
+        # 802.11n / AR4JA lifted-circulant path: rolls, not gathers
+        from opticommpy_tpu.comm import fec_lift
+
+        dec = fec_lift.make_lift_decoder(
+            lift["mode"], lift["n"], lift["R"], int(config.maxIter),
+            config.alg, config.msgDtype, bool(config.earlyExit))
         out_llr, n_iters, fail = dec(llrs)
     elif graph.get("bk") is not None:
         bk = graph["bk"]

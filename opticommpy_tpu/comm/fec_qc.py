@@ -22,7 +22,13 @@ degree dc-1, reference ALIST row 1).
 Semantics match :func:`fec._bp_decode_bucketed` (flooding schedule,
 freeze-on-convergence early exit, same check kernels) — only the message
 *layout* differs; reference behavior cited there
-(/root/reference/optic/comm/fec.py:505-561).
+(/root/reference/optic/comm/fec.py:505-561). One deliberate delta at
+``msgDtype='bf16'``: here the v2c subtraction ``Xn = tot - M`` runs in the
+bf16 storage dtype (``tot`` is cast at stack time so the large stacked
+tensor is never materialized in f32), while ``_bp_decode_bucketed``
+subtracts in f32 and casts the result — the two paths round at different
+points, so bf16 messages differ in the last bf16 ulp between layouts
+(equal BER in the waterfall tests; f32 is bit-identical).
 """
 
 from functools import lru_cache, partial
@@ -164,12 +170,22 @@ def make_qc_decoder(n, R, max_iter, alg="MSA", msg_dtype="f32",
     outputs (per-codeword results are frozen at their own convergence
     either way), but wall time tracks the slowest codeword instead of
     ``max_iter``. Keep False when benchmarking fixed-iteration throughput.
+
+    ``backend``: 'fused' = the round-3 fully-fused Pallas iteration
+    (kernels/qc_pallas.py — X never materialized, rolls as in-VMEM dynamic
+    rotates); 'pallas' = XLA rolls + Pallas check update; 'xla' = pure XLA;
+    'auto' = 'fused' for MSA/NMSA on accelerators, 'xla' on CPU.
     """
     tb = qc_tables(R, n)
     k, m, q, G, S = tb["k"], tb["m"], tb["q"], tb["G"], tb["S"]
     g_tab, s_tab = tb["g_tab"], tb["s_tab"]
     pos_of_g = tb["pos_of_g"]
     order_rows = jnp.asarray(tb["order_rows"])
+    on_accel = jax.default_backend() != "cpu"
+    use_fused = backend == "fused" or (
+        backend == "auto" and alg in ("MSA", "NMSA") and on_accel)
+    if use_fused:
+        return _make_fused_decoder(tb, max_iter, alg, msg_dtype, early_exit)
     # ``backend``: 'pallas' fuses the check update into one VMEM-resident
     # Pallas pass (one HBM read + one write vs ~5 re-streams as XLA slab
     # ops); 'auto' uses it for MSA/NMSA on accelerator backends and the
@@ -284,5 +300,136 @@ def make_qc_decoder(n, R, max_iter, alg="MSA", msg_dtype="f32",
         out_info = fT[jnp.asarray(pos_of_g)].reshape(G * Z, B)
         out_p = fTp.transpose(1, 0, 2).reshape(m, B)
         return jnp.concatenate([out_info, out_p]), n_iters, ~done
+
+    return decode
+
+
+def _make_fused_decoder(tb, max_iter, alg, msg_dtype, early_exit):
+    """Fully-fused Pallas QC decoder (round 3): carry ``(M, T, Tp)``.
+
+    The edge tensor X = v2c(T) - M is never materialized — the check-column
+    kernel recomputes it in VMEM from the totals (kernels/qc_pallas.py).
+    Because the parity vote of iteration j's totals is only observable when
+    the NEXT check-column pass reads them, the done/freeze bookkeeping runs
+    one step delayed: step k folds ok_{k} (parity of the step's INPUT
+    totals, discarded at k=0 where they are the raw channel LLRs), so the
+    loop runs max_iter+1 steps and the final (phantom) step only
+    contributes its parity vote. Outputs (frozen totals, n_iters, fail)
+    are semantically identical to the XLA path; f32 message sums differ
+    only in accumulation order (sequential adds vs XLA reduce tree).
+
+    Reference semantics: /root/reference/optic/comm/fec.py:505,:684.
+    """
+    from opticommpy_tpu.kernels.qc_pallas import (
+        check_column_update, pick_bt, tile_batch, untile_batch,
+        var_totals_update)
+
+    if alg not in ("MSA", "NMSA"):
+        raise ValueError("fused QC decoder supports MSA/NMSA only")
+    alpha = 0.75 if alg == "NMSA" else None
+    k, m, q, G, S = tb["k"], tb["m"], tb["q"], tb["G"], tb["S"]
+    g_tab, s_tab = tb["g_tab"], tb["s_tab"]
+    pos_of_g = tb["pos_of_g"]
+    order_rows = jnp.asarray(tb["order_rows"])
+    mdt = jnp.bfloat16 if msg_dtype == "bf16" else jnp.float32
+    msize = jnp.dtype(mdt).itemsize
+    interpret = jax.default_backend() == "cpu"
+
+    # check-kernel tables: (S, q) T-plane index / roll per column
+    pos_tab = jnp.asarray(pos_of_g[g_tab].T.copy())  # (S, q)
+    sh_tab = jnp.asarray(s_tab.T.copy() % Z)
+    # variable-kernel tables: per bucket, (d, ng) slot / column / back-roll
+    sl_tabs, col_tabs, sh_tabs = [], [], []
+    for ea in tb["ent_addr"]:  # (ng, d, 3) of (a0, slot, shift)
+        sl_tabs.append(jnp.asarray(ea[:, :, 1].T.copy().astype(np.int32)))
+        col_tabs.append(jnp.asarray(ea[:, :, 0].T.copy().astype(np.int32)))
+        sh_tabs.append(jnp.asarray(
+            ((Z - ea[:, :, 2]) % Z).T.copy().astype(np.int32)))
+    buckets = tb["buckets"]
+    K = max_iter + 1
+
+    @jax.jit
+    def decode(llrs):
+        B_in = llrs.shape[1]
+        bt = pick_bt(B_in, S, msize, msize)
+        pad = (-B_in) % bt
+        if pad:
+            # +LLR columns decode the all-zeros codeword and freeze at the
+            # first parity fold — no effect on the real columns
+            llrs = jnp.pad(llrs, ((0, 0), (0, pad)), constant_values=200.0)
+        B = B_in + pad
+        nb = B // bt
+        llr_info = tile_batch(
+            llrs[:k].reshape(G, Z, B)[order_rows], nb, bt)
+        llr_p = tile_batch(
+            llrs[k:].reshape(Z, q, B).transpose(1, 0, 2), nb, bt)
+        llr_p4 = llr_p.reshape(nb, q, Z, bt)
+
+        M0 = jnp.zeros((S + 2, nb * q, Z, bt), mdt)
+        carry0 = (M0, llr_info, llr_info.astype(mdt), llr_p,
+                  llr_p.astype(mdt), jnp.zeros(B, bool), llr_info, llr_p,
+                  jnp.zeros(B, jnp.int32))
+
+        def step(carry, kk):
+            M, T, Tc, Tp, Tpc, done, fT, fTp, n_iters = carry
+            M_new, par = check_column_update(
+                Tc, Tpc, M, pos_tab, sh_tab, G, alpha=alpha,
+                interpret=interpret)
+            ok_in = (par.reshape(nb, 8, bt)[:, 0] > 0.5).reshape(B)
+            ok = ok_in & (kk > 0)
+            done = done | ok
+            last = kk == K - 1
+            n_iters = n_iters + (~done & ~last)
+            freeze = done | last
+            frz = freeze.reshape(nb, 1, 1, bt)
+            # parity totals (XLA: two plane shifts on the small staircase)
+            Mp = (M_new[S + 1].astype(jnp.float32)
+                  .reshape(nb, q, Z, bt).at[:, 0, 0].set(0.0))
+            shiftback = jnp.concatenate(
+                [Mp[:, 1:], jnp.roll(Mp[:, :1], -1, axis=2)], axis=1)
+            Tp_new = (llr_p4 + M_new[S].astype(jnp.float32).reshape(
+                nb, q, Z, bt) + shiftback).reshape(nb * q, Z, bt)
+            fTp = jnp.where(frz, fTp.reshape(nb, q, Z, bt),
+                            Tp_new.reshape(nb, q, Z, bt)).reshape(
+                nb * q, Z, bt)
+            freeze_f = jnp.broadcast_to(
+                freeze.astype(jnp.float32).reshape(nb, 1, bt),
+                (nb, 8, bt)).reshape(nb * 8, bt)
+            if mdt == jnp.bfloat16:
+                T, fT, Tc = var_totals_update(
+                    M_new[:S], llr_info, fT, freeze_f, buckets, sl_tabs,
+                    col_tabs, sh_tabs, G, q, msg_copy=True,
+                    interpret=interpret)
+            else:
+                T, fT = var_totals_update(
+                    M_new[:S], llr_info, fT, freeze_f, buckets, sl_tabs,
+                    col_tabs, sh_tabs, G, q, msg_copy=False,
+                    interpret=interpret)
+                Tc = T
+            return (M_new, T, Tc, Tp_new, Tp_new.astype(mdt), done, fT,
+                    fTp, n_iters), None
+
+        if early_exit:
+            def cond(state):
+                kk, carry = state
+                return (kk < K) & ~jnp.all(carry[5])
+
+            def w_body(state):
+                kk, carry = state
+                return kk + 1, step(carry, kk)[0]
+
+            _, (_, _, _, _, _, done, fT, fTp, n_iters) = jax.lax.while_loop(
+                cond, w_body, (jnp.asarray(0), carry0))
+        else:
+            (_, _, _, _, _, done, fT, fTp, n_iters), _ = jax.lax.scan(
+                step, carry0, jnp.arange(K))
+        fT = untile_batch(fT, nb, bt)
+        fTp = untile_batch(fTp, nb, bt)
+        out_info = fT[jnp.asarray(pos_of_g)].reshape(G * Z, B)
+        out_p = fTp.transpose(1, 0, 2).reshape(m, B)
+        out = jnp.concatenate([out_info, out_p])
+        if pad:
+            out, n_iters, done = out[:, :B_in], n_iters[:B_in], done[:B_in]
+        return out, n_iters, ~done
 
     return decode

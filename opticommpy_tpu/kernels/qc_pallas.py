@@ -1,0 +1,342 @@
+"""Fused Pallas TPU kernels for the quasi-cyclic LDPC BP iteration.
+
+The round-2 QC decoder (comm/fec_qc.py) lowered the DVB-S2 permutations to
+XLA slice+concat rolls; profiling put that roll machinery at ~1.7 of the
+~2.4 ms/iteration (R4/5, B=128, bf16) because every (Z=360, B) plane is
+re-streamed through HBM once per roll — and 360-row slice+concat pairs are
+sublane-UNALIGNED copies for most shifts. These kernels keep whole planes
+VMEM-resident and do the rolls as in-register dynamic rotates
+(``pltpu.roll`` with a scalar-prefetched shift table), so each tensor moves
+through HBM exactly once per iteration:
+
+- **check kernel** (`grid over check columns a0`): reads the S relevant
+  variable-total planes of T (scalar-prefetched *plane index* maps — the
+  QC structure says which group feeds which column), rolls them into check
+  alignment in VMEM, forms the v2c messages ``x = tot - M`` on the fly
+  (X is never materialized in HBM), runs the exact two-min min-sum
+  leave-one-out update, and writes the new check messages M plus a
+  per-column parity vote.
+- **variable kernel** (`grid over variable groups, one call per degree
+  bucket`): gathers each group's d check-message planes (prefetched index
+  maps), rolls them back to variable alignment, and accumulates the new
+  totals T in f32 — folding in the converged-codeword output freeze.
+
+Together with the carry reformulation in
+:func:`opticommpy_tpu.comm.fec_qc.make_qc_decoder` (carry ``(M, T, Tp)``
+instead of the edge tensor X) this cuts per-iteration HBM traffic from
+~5 re-streams of the edge tensor to one read + one write of M plus one
+pass over the (much smaller) totals.
+
+Batch layout: every batch tensor is TILED as ``(nb * planes, Z, bt)`` with
+``B = nb * bt`` — Pallas TPU requires a block's lane dimension to be a
+multiple of 128 or the FULL array dimension, so the batch tile must be the
+array's true last axis, not a slice of it. ``nb`` rides the leading grid
+dimension. The tile width comes from the VMEM budget (high-S rates like
+R9/10 don't fit S+2 full-width planes twice-buffered).
+
+Mosaic v5e limits found building this (see CLAUDE.md): dynamic rotate is
+32-bit only — cast bf16 planes to f32 BEFORE ``pltpu.roll`` (lossless),
+mirroring the bf16-compare restriction.
+
+Reference semantics: min-sum / normalized-min-sum belief propagation with
+early-exit freezing, /root/reference/optic/comm/fec.py:505 and :684. The
+bit-level check-update semantics match kernels/ldpc_pallas.py (two-min
+exclusive minimum == prefix/suffix exclusive minimum, exactly).
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Z = 360  # ETSI EN 302 307-1 cyclic group size
+
+
+def pick_bt(B, S, msize, tsize):
+    """Largest batch tile (divisor of the padded batch) whose check-kernel
+    working set fits in VMEM.
+
+    Budget model (bytes) per grid step, double-buffered inputs/outputs plus
+    single-buffered scratch; 13 MB target leaves headroom of the 16 MB VMEM
+    for the pipeline machinery.
+    """
+    D = S + 2
+    b8 = B + (-B) % 8
+    for bt in (512, 256, 128, 64, 32, 16, 8):
+        if bt > b8:
+            continue
+        ins = (S + 2) * Z * bt * tsize + D * Z * bt * msize
+        outs = D * Z * bt * msize + 8 * bt * 4
+        scratch = D * Z * bt * msize + 4 * Z * bt * 4
+        if 2 * (ins + outs) + scratch <= 13 * 2**20:
+            return bt
+    return 8
+
+
+def tile_batch(x, nb, bt):
+    """(P, Z, B) -> (nb * P, Z, bt): batch chunk b owns planes [b*P, (b+1)*P)."""
+    if nb == 1:
+        return x
+    P = x.shape[0]
+    return x.reshape(P, Z, nb, bt).transpose(2, 0, 1, 3).reshape(
+        nb * P, Z, bt)
+
+
+def untile_batch(x, nb, bt):
+    """Inverse of :func:`tile_batch`."""
+    if nb == 1:
+        return x
+    P = x.shape[0] // nb
+    return x.reshape(nb, P, Z, bt).transpose(1, 2, 0, 3).reshape(
+        P, Z, nb * bt)
+
+
+# ---------------------------------------------------------------------------
+# check-column kernel
+# ---------------------------------------------------------------------------
+
+
+def _check_body(pos_ref, sh_ref, *refs, S, q, alpha, mdt):
+    """One check column a0 of one batch chunk (grid: (nb, a0)).
+
+    refs = S T-planes, tp, tp_prev, m  |  m_new, par  |  x_scr, m1, m2,
+    parx, partot (scratch). All math f32 (Mosaic v5e rejects bf16 vector
+    compares AND bf16 dynamic rotates); storage casts are exact for
+    min/sign.
+    """
+    D = S + 2
+    t_refs = refs[:S]
+    tp_ref, tpm1_ref, m_ref = refs[S], refs[S + 1], refs[S + 2]
+    mnew_ref, par_ref = refs[S + 3], refs[S + 4]
+    x_scr, m1_ref, m2_ref, parx_ref, partot_ref = refs[S + 5:]
+
+    i = pl.program_id(1)
+    bt = m_ref.shape[-1]
+    inf = jnp.full((Z, bt), jnp.inf, jnp.float32)
+    m1_ref[...] = inf
+    m2_ref[...] = inf
+    parx_ref[...] = jnp.zeros((Z, bt), jnp.int32)
+    partot_ref[...] = jnp.zeros((Z, bt), jnp.int32)
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (Z, bt), 0) == 0
+
+    def accum(sl, x32, tot_neg):
+        # two smallest |x| over slots; x-sign parity; tot-sign parity
+        mag = jnp.abs(x32)
+        m2_ref[...] = jnp.minimum(m2_ref[...], jnp.maximum(m1_ref[...], mag))
+        m1_ref[...] = jnp.minimum(m1_ref[...], mag)
+        parx_ref[...] = parx_ref[...] ^ (x32 < 0).astype(jnp.int32)
+        partot_ref[...] = partot_ref[...] ^ tot_neg.astype(jnp.int32)
+        x_scr[sl] = x32.astype(mdt)
+
+    for sl in range(S):
+        # cast BEFORE the roll: Mosaic's dynamic rotate is 32-bit only
+        # ("Rotate with non-32-bit data"); bf16 -> f32 is lossless
+        tot32 = pltpu.roll(
+            t_refs[sl][0].astype(jnp.float32), sh_ref[sl, i], axis=0)
+        x32 = tot32 - m_ref[sl, 0].astype(jnp.float32)
+        if mdt == jnp.bfloat16:
+            x32 = x32.astype(mdt).astype(jnp.float32)
+        accum(sl, x32, tot32 < 0)
+
+    # slot S: accumulator self edge p_j -> c_j
+    tot32 = tp_ref[0].astype(jnp.float32)
+    x32 = tot32 - m_ref[S, 0].astype(jnp.float32)
+    if mdt == jnp.bfloat16:
+        x32 = x32.astype(mdt).astype(jnp.float32)
+    accum(S, x32, tot32 < 0)
+
+    # slot S+1: staircase edge p_{j-1} -> c_j; check 0 has no p_{-1}
+    first = i == 0
+    tot32 = pltpu.roll(
+        tpm1_ref[0].astype(jnp.float32), jnp.where(first, 1, 0), axis=0)
+    x32 = tot32 - m_ref[S + 1, 0].astype(jnp.float32)
+    if mdt == jnp.bfloat16:
+        x32 = x32.astype(mdt).astype(jnp.float32)
+    mask0 = row0 & first
+    x32 = jnp.where(mask0, jnp.inf, x32)
+    accum(S + 1, x32, (tot32 < 0) & ~mask0)
+
+    # per-column parity vote, AND-accumulated across columns (sequential
+    # grid; the (8, bt) block is revisited for every a0 at fixed chunk b)
+    ok = jnp.broadcast_to(
+        jnp.all(partot_ref[...] == 0, axis=0, keepdims=True), (8, bt)
+    ).astype(jnp.float32)
+    par_ref[...] = jnp.where(i == 0, ok, jnp.minimum(par_ref[...], ok))
+
+    # pass 2: exclusive min + leave-one-out sign from the two-min state
+    m1 = m1_ref[...]
+    m2 = m2_ref[...]
+    for sl in range(D):
+        x32 = x_scr[sl].astype(jnp.float32)
+        om = jnp.where(jnp.abs(x32) == m1, m2, m1)
+        if alpha is not None:
+            om = om * alpha
+        flip = (parx_ref[...] ^ (x32 < 0).astype(jnp.int32)) == 1
+        mnew_ref[sl, 0] = jnp.where(flip, -om, om).astype(mdt)
+
+
+def check_column_update(T, Tp, M, pos_tab, sh_tab, G, *, alpha=None,
+                        interpret=False):
+    """All check columns' message update + parity vote (tiled batch layout).
+
+    T: (nb*G, Z, bt) variable totals (message dtype), bucket order.
+    Tp: (nb*q, Z, bt) parity totals (message dtype).
+    M: (S+2, nb*q, Z, bt) check-aligned messages.
+    pos_tab/sh_tab: (S, q) int32 — T plane index / roll amount per column.
+    Returns (M_new like M, ok (nb*8, bt) f32 vote — rows ::8 are the
+    parity vote of the totals, i.e. of the PREVIOUS iteration's decision).
+    """
+    S, q = pos_tab.shape
+    D = S + 2
+    bt = M.shape[-1]
+    nb = M.shape[1] // q
+    mdt = M.dtype
+
+    def t_spec(j):
+        return pl.BlockSpec(
+            (1, Z, bt), lambda b, i, pos, sh, j=j: (b * G + pos[j, i], 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb, q),
+        in_specs=(
+            [t_spec(j) for j in range(S)]
+            + [
+                pl.BlockSpec(
+                    (1, Z, bt), lambda b, i, pos, sh: (b * q + i, 0, 0)),
+                pl.BlockSpec(
+                    (1, Z, bt),
+                    lambda b, i, pos, sh: (b * q + (i + q - 1) % q, 0, 0)),
+                pl.BlockSpec(
+                    (D, 1, Z, bt),
+                    lambda b, i, pos, sh: (0, b * q + i, 0, 0)),
+            ]
+        ),
+        out_specs=[
+            pl.BlockSpec(
+                (D, 1, Z, bt), lambda b, i, pos, sh: (0, b * q + i, 0, 0)),
+            pl.BlockSpec((8, bt), lambda b, i, pos, sh: (b, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((D, Z, bt), mdt),
+            pltpu.VMEM((Z, bt), jnp.float32),
+            pltpu.VMEM((Z, bt), jnp.float32),
+            pltpu.VMEM((Z, bt), jnp.int32),
+            pltpu.VMEM((Z, bt), jnp.int32),
+        ],
+    )
+    m_new, par = pl.pallas_call(
+        partial(_check_body, S=S, q=q, alpha=alpha, mdt=mdt),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((D, nb * q, Z, bt), mdt),
+            jax.ShapeDtypeStruct((nb * 8, bt), jnp.float32),
+        ),
+        interpret=interpret,
+    )(pos_tab, sh_tab, *([T] * S), Tp, Tp, M)
+    return m_new, par
+
+
+# ---------------------------------------------------------------------------
+# variable-group kernel (one call per degree bucket)
+# ---------------------------------------------------------------------------
+
+
+def _var_body(sl_ref, col_ref, sh_ref, *refs, d, tdt):
+    """One variable group of one batch chunk (grid: (nb, group)).
+    refs = d M-planes, llr, fT_old, freeze | T_new, fT_new [, T_copy]."""
+    i = pl.program_id(1)
+    m_refs = refs[:d]
+    llr_ref, ftold_ref, freeze_ref = refs[d], refs[d + 1], refs[d + 2]
+    tnew_ref, ftnew_ref = refs[d + 3], refs[d + 4]
+    tcopy_ref = refs[d + 5] if len(refs) > d + 5 else None
+
+    acc = llr_ref[0].astype(jnp.float32)
+    for j in range(d):
+        # f32 cast BEFORE the roll (Mosaic dynamic rotate is 32-bit only)
+        acc = acc + pltpu.roll(
+            m_refs[j][0, 0].astype(jnp.float32), sh_ref[j, i], axis=0)
+    tnew_ref[0] = acc
+    frozen = freeze_ref[0:1, :] > 0.5  # (1, bt) -> broadcast over Z
+    ftnew_ref[0] = jnp.where(frozen, ftold_ref[0], acc)
+    if tcopy_ref is not None:
+        tcopy_ref[0] = acc.astype(tdt)
+
+
+def var_totals_update(M_info, llr, fT_old, freeze, buckets, sl_tabs,
+                      col_tabs, sh_tabs, G, q, *, msg_copy=False,
+                      interpret=False):
+    """New variable totals T (f32) + frozen outputs, per degree bucket.
+
+    M_info: (S, nb*q, Z, bt) check messages (info slots).
+    llr/fT_old: (nb*G, Z, bt) f32, bucket order. freeze: (nb*8, bt) f32.
+    buckets: ((d, ng), ...); sl/col/sh tabs: per bucket (d, ng) int32 —
+    slot index, column index, back-roll of each group entry.
+    Returns (T_new f32, fT_new f32[, T_copy in M's dtype]) with planes in
+    (chunk, bucket-order group) layout.
+    """
+    bt = M_info.shape[-1]
+    nb = M_info.shape[1] // q
+    mdt = M_info.dtype
+
+    outs = []
+    off = 0
+    for (d, ng), slt, colt, sht in zip(buckets, sl_tabs, col_tabs, sh_tabs):
+        def m_spec(j):
+            return pl.BlockSpec(
+                (1, 1, Z, bt),
+                lambda b, i, s, c, sh, j=j: (s[j, i], b * q + c[j, i], 0, 0))
+
+        def g_spec(off=off):
+            # bucket slice of the full (nb*G, Z, bt) llr / fT arrays
+            return pl.BlockSpec(
+                (1, Z, bt), lambda b, i, s, c, sh: (b * G + off + i, 0, 0))
+
+        out_specs = [
+            pl.BlockSpec((1, Z, bt), lambda b, i, s, c, sh: (b * ng + i, 0, 0)),
+            pl.BlockSpec((1, Z, bt), lambda b, i, s, c, sh: (b * ng + i, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((nb * ng, Z, bt), jnp.float32),
+            jax.ShapeDtypeStruct((nb * ng, Z, bt), jnp.float32),
+        ]
+        if msg_copy:
+            out_specs.append(pl.BlockSpec(
+                (1, Z, bt), lambda b, i, s, c, sh: (b * ng + i, 0, 0)))
+            out_shape.append(jax.ShapeDtypeStruct((nb * ng, Z, bt), mdt))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nb, ng),
+            in_specs=(
+                [m_spec(j) for j in range(d)]
+                + [
+                    g_spec(),
+                    g_spec(),
+                    pl.BlockSpec((8, bt), lambda b, i, s, c, sh: (b, 0)),
+                ]
+            ),
+            out_specs=out_specs,
+        )
+        outs.append(pl.pallas_call(
+            partial(_var_body, d=d, tdt=mdt),
+            grid_spec=grid_spec,
+            out_shape=tuple(out_shape),
+            interpret=interpret,
+        )(slt, colt, sht, *([M_info] * d), llr, fT_old, freeze))
+        off += ng
+
+    nouts = 3 if msg_copy else 2
+    merged = []
+    for oi in range(nouts):
+        if nb == 1:
+            merged.append(jnp.concatenate([o[oi] for o in outs]))
+        else:
+            # per-bucket (nb, ng, Z, bt) chunks -> (nb*G, Z, bt) plane order
+            parts = [o[oi].reshape(nb, -1, Z, bt) for o in outs]
+            merged.append(
+                jnp.concatenate(parts, axis=1).reshape(-1, Z, bt))
+    return tuple(merged)
