@@ -127,5 +127,52 @@ def main():
             }))
 
 
+def bench_lift():
+    """802.11n / AR4JA: gather path vs the lifted-circulant roll path."""
+    from opticommpy_tpu.comm import fec_lift
+
+    rng = np.random.default_rng(0)
+    for mode, n, R in (("IEEE_802.11nD2", 1944, "1/2"),
+                       ("AR4JA", 2048, "1/2"), ("AR4JA", 8192, "1/2")):
+        g, _ = fec.standard_ldpc(mode, n, R)
+        for b in (128, 1024):
+            llrs = jnp.asarray((2.0 + rng.normal(
+                scale=1.2, size=(g["n"], b))).astype(np.float32))
+            dec_g = _make_dec(g, "MSA")
+            float(dec_g(llrs))
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(dec_g(llrs))
+                ts.append(time.perf_counter() - t0)
+            print(json.dumps({
+                "metric": f"LDPC BP decode gather-path (MSA, {mode} n={n} "
+                          f"R{R}, {MAX_ITER} iters, B={b})",
+                "value": round(g["n"] * b / min(ts) / 1e6, 2),
+                "unit": "Mbit/s"}), flush=True)
+            ldec = fec_lift.make_lift_decoder(mode, n, R, MAX_ITER, "MSA",
+                                              "bf16")
+
+            def lrun(llrs, ldec=ldec):
+                out, iters, fail = ldec(llrs)
+                return float(jnp.mean(out) + jnp.sum(iters) + jnp.sum(fail))
+
+            lrun(llrs)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                lrun(llrs)
+                ts.append(time.perf_counter() - t0)
+            print(json.dumps({
+                "metric": f"LDPC BP decode lift-roll path (MSA, {mode} "
+                          f"n={n} R{R}, {MAX_ITER} iters, B={b}, msg=bf16)",
+                "value": round(g["n"] * b / min(ts) / 1e6, 2),
+                "unit": "Mbit/s"}), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--lift" in sys.argv:
+        bench_lift()
+    else:
+        main()
+        bench_lift()
