@@ -190,6 +190,64 @@ def time_fn(fn, *args, reps=3):
     return min(ts)
 
 
+def bench_rls(batch=8, n_sym=16384, n_taps=15, sps=2):
+    """RLS kernel: single-signal vs sublane-batched aggregate (Msym/s)."""
+    from opticommpy_tpu.comm.modulation import gray_mapping
+    from opticommpy_tpu.kernels.rls_pallas import (
+        mimo_rls_pallas, mimo_rls_pallas_batch)
+
+    const = gray_mapping(16, "qam")
+    const = const / np.sqrt(np.mean(np.abs(const) ** 2))
+    rng = np.random.default_rng(3)
+    sig = (rng.normal(size=(batch, n_sym * sps, 2))
+           + 1j * rng.normal(size=(batch, n_sym * sps, 2))).astype(
+        np.complex64) * 0.7
+    symb = (rng.normal(size=(batch, n_sym, 2))
+            + 1j * rng.normal(size=(batch, n_sym, 2))).astype(np.complex64)
+
+    def run_single(s, r):
+        y, H, Sd = mimo_rls_pallas(s, r, const, alg="rls", n_taps=n_taps,
+                                   sps=sps)
+        return jnp.mean(jnp.abs(y)) + jnp.mean(jnp.abs(H))
+
+    def run_batch(s, r):
+        y, H, Sd = mimo_rls_pallas_batch(s, r, const, alg="rls",
+                                         n_taps=n_taps, sps=sps)
+        return jnp.mean(jnp.abs(y)) + jnp.mean(jnp.abs(H))
+
+    t_s = time_fn(run_single, jnp.asarray(sig[0]), jnp.asarray(symb[0]))
+    t_b = time_fn(run_batch, jnp.asarray(sig), jnp.asarray(symb))
+    print(json.dumps({
+        "metric": f"RLS 2x2 equalizer Pallas kernel ({n_taps} taps)",
+        "single_Msym_per_s": round(n_sym / t_s / 1e6, 3),
+        f"batch{batch}_Msym_per_s": round(batch * n_sym / t_b / 1e6, 3),
+        "n_symbols": n_sym,
+    }))
+
+
+def bench_volterra(n_sym=16384, sps=2):
+    """3rd-order Volterra equalizer scan throughput (VERDICT r2 item 8)."""
+    from opticommpy_tpu.dsp.equalization import VolterraConfig, volterra
+
+    rng = np.random.default_rng(4)
+    sym = (2 * rng.integers(0, 4, size=n_sym) - 3).astype(np.float32)
+    sig = np.repeat(sym, sps) + 0.1 * rng.normal(size=n_sym * sps)
+    sig = (sig + 0.05 * sig**2).astype(np.float32)  # mild NL distortion
+    cfg = VolterraConfig(n1Taps=13, n2Taps=7, n3Taps=5, SpS=sps, mu=1e-3,
+                         nTrain=4000, order=3, M=4, constType="pam")
+
+    def run(s, r):
+        y, hs, mse = volterra(s, r, cfg)
+        return jnp.mean(jnp.abs(y)) + jnp.mean(mse)
+
+    t = time_fn(run, jnp.asarray(sig), jnp.asarray(sym))
+    print(json.dumps({
+        "metric": "Volterra equalizer (order 3, 13/7/5 taps, PAM4 scan)",
+        "Msym_per_s": round(n_sym / t / 1e6, 3),
+        "n_symbols": n_sym,
+    }))
+
+
 def main():
     (adaptive, frozen, pallas, fused, fused_batch, adaptive_batch,
      sig, h0) = build_chain()
@@ -212,6 +270,8 @@ def main():
         "fused_batch8_Msym_per_s": round(batch * N_SYM / t_fb / 1e6, 3),
         "n_symbols": N_SYM,
     }))
+    bench_rls()
+    bench_volterra()
 
 
 if __name__ == "__main__":

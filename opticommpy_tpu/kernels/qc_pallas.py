@@ -56,25 +56,39 @@ from jax.experimental.pallas import tpu as pltpu
 Z = 360  # ETSI EN 302 307-1 cyclic group size
 
 
-def pick_bt(B, S, msize, tsize):
-    """Largest batch tile (divisor of the padded batch) whose check-kernel
-    working set fits in VMEM.
+_VMEM_TARGET = 28 * 2**20  # raised scoped-vmem limit we are willing to ask for
 
-    Budget model (bytes) per grid step, double-buffered inputs/outputs plus
-    single-buffered scratch; 13 MB target leaves headroom of the 16 MB VMEM
-    for the pipeline machinery.
-    """
+
+def _check_vmem_need(S, msize, tsize, bt):
+    """Check-kernel VMEM bytes at batch tile ``bt``.
+
+    Mosaic pads the lane (last) dimension to 128, so tiles below 128 cost
+    the same VMEM as 128 — the only way down is fewer planes, not a
+    narrower batch. Inputs and outputs are double-buffered by the pallas
+    pipeline; scratch is single."""
     D = S + 2
+    eff = max(bt, 128)
+    ins = (S + 2) * Z * eff * tsize + D * Z * eff * msize
+    outs = D * Z * eff * msize + 8 * eff * 4
+    scratch = D * Z * eff * msize + 4 * Z * eff * 4
+    return 2 * (ins + outs) + scratch
+
+
+def pick_bt(B, S, msize, tsize):
+    """Batch tile for the fused QC kernels.
+
+    Below 128 the lane padding makes every tile cost the same VMEM, so a
+    batch <= 128 runs as one chunk; above, the widest of (512, 256, 128)
+    whose check-kernel working set stays under the raised scoped-vmem
+    target (the v5e default limit is 16 MB but the physical VMEM is
+    larger; check_column_update requests what the model says it needs)."""
     b8 = B + (-B) % 8
-    for bt in (512, 256, 128, 64, 32, 16, 8):
-        if bt > b8:
-            continue
-        ins = (S + 2) * Z * bt * tsize + D * Z * bt * msize
-        outs = D * Z * bt * msize + 8 * bt * 4
-        scratch = D * Z * bt * msize + 4 * Z * bt * 4
-        if 2 * (ins + outs) + scratch <= 13 * 2**20:
+    if b8 <= 128:
+        return b8
+    for bt in (512, 256, 128):
+        if bt <= b8 and _check_vmem_need(S, msize, tsize, bt) <= _VMEM_TARGET:
             return bt
-    return 8
+    return 128
 
 
 def tile_batch(x, nb, bt):
@@ -229,6 +243,9 @@ def check_column_update(T, Tp, M, pos_tab, sh_tab, G, *, alpha=None,
             pltpu.VMEM((Z, bt), jnp.int32),
         ],
     )
+    msz = jnp.dtype(mdt).itemsize
+    tsz = jnp.dtype(T.dtype).itemsize
+    need = _check_vmem_need(S, msz, tsz, bt)
     m_new, par = pl.pallas_call(
         partial(_check_body, S=S, q=q, alpha=alpha, mdt=mdt),
         grid_spec=grid_spec,
@@ -236,6 +253,8 @@ def check_column_update(T, Tp, M, pos_tab, sh_tab, G, *, alpha=None,
             jax.ShapeDtypeStruct((D, nb * q, Z, bt), mdt),
             jax.ShapeDtypeStruct((nb * 8, bt), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(16 * 2**20, int(need * 1.2))),
         interpret=interpret,
     )(pos_tab, sh_tab, *([T] * S), Tp, Tp, M)
     return m_new, par

@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from opticommpy_tpu.kernels._util import split_ri
 from opticommpy_tpu.kernels.bps_pallas import _square_qam_levels
 
-__all__ = ["mimo_rls_pallas"]
+__all__ = ["mimo_rls_pallas", "mimo_rls_pallas_batch"]
 
 
 def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
@@ -213,6 +213,254 @@ def _rls_run(sig_re, sig_im, ref_re, ref_im, const_re, const_im, h0_re,
       h0_re, h0_im, sd0_re, sd0_im)
     out_re, out_im, hr, hi, sdr, sdi = outs
     return out_re[:n_sym], out_im[:n_sym], hr, hi, sdr, sdi
+
+
+def _kernel_batch(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref,
+                  ci_ref, h0_re_ref, h0_im_ref, sd0_re_ref, sd0_im_ref,
+                  out_re_ref, out_im_ref, hout_re_ref, hout_im_ref,
+                  sdout_re_ref, sdout_im_ref, h_re, h_im, sd_re, sd_im, *,
+                  block, n_modes, n_batch, lam, n_sym, alg, qam_grid):
+    """Sublane-batched RLS: B signals' (modes, taps) problems fused on one
+    BM = B*modes axis. The Sd recursion is per-(signal, mode) independent,
+    so it vectorizes over BM unchanged; the filter output and the H update
+    couple modes only WITHIN a signal — the two couplings run as segmented
+    (Mo, B, M) reductions/broadcasts. Per-signal arithmetic is identical
+    to :func:`_kernel` (same ops, same order), so outputs match the
+    single-signal kernel exactly."""
+    b = pl.program_id(0)
+    BM = n_batch * n_modes
+
+    @pl.when(b == 0)
+    def _():
+        h_re[...] = h0_re_ref[...]
+        h_im[...] = h0_im_ref[...]
+        sd_re[...] = sd0_re_ref[...]
+        sd_im[...] = sd0_im_ref[...]
+
+    def body(i, _):
+        w_re = win_re_ref[i]  # (BM, taps)
+        w_im = win_im_ref[i]
+        hr = h_re[...]  # (modes_out, BM, taps); block-diagonal by signal
+        hi = h_im[...]
+        # per-(o, bm) partial filter products, then fold m within signal
+        p_re = jnp.sum(hr * w_re[None] - hi * w_im[None], axis=2)  # (Mo, BM)
+        p_im = jnp.sum(hr * w_im[None] + hi * w_re[None], axis=2)
+        o_re = jnp.sum(p_re.reshape(n_modes, n_batch, n_modes), axis=2)
+        o_im = jnp.sum(p_im.reshape(n_modes, n_batch, n_modes), axis=2)
+        # o_*: (Mo, B)
+
+        if alg == "rls":
+            t_re = ref_re_ref[i]  # (Mo, B)
+            t_im = ref_im_ref[i]
+        else:  # dd-rls: O(1) quantized square-QAM slicer
+            lo, step, n_lev = qam_grid
+
+            def q(x):
+                k = jnp.clip(jnp.round((x - lo) / step), 0.0, n_lev - 1.0)
+                return k * step + lo
+
+            t_re = q(o_re)
+            t_im = q(o_im)
+        e_re = t_re - o_re  # (Mo, B)
+        e_im = t_im - o_im
+
+        sr = sd_re[...]  # (BM, T, T)
+        si = sd_im[...]
+        xr = w_re[:, None, :]  # (BM, 1, T)
+        xi = w_im[:, None, :]
+        a_re = jnp.sum(sr * xr + si * xi, axis=2)  # (BM, T)
+        a_im = jnp.sum(si * xr - sr * xi, axis=2)
+        yr = w_re[:, :, None]  # (BM, T, 1)
+        yi = w_im[:, :, None]
+        b_re = jnp.sum(sr * yr - si * yi, axis=1)  # (BM, T)
+        b_im = jnp.sum(si * yr + sr * yi, axis=1)
+        c_re = jnp.sum(w_re * a_re - w_im * a_im, axis=1)  # (BM,)
+        c_im = jnp.sum(w_re * a_im + w_im * a_re, axis=1)
+        d_re = lam + c_re
+        d_im = c_im
+        den = d_re * d_re + d_im * d_im
+        inv_re = d_re / den
+        inv_im = -d_im / den
+        ab_re = (a_re[:, :, None] * b_re[:, None, :]
+                 - a_im[:, :, None] * b_im[:, None, :])  # (BM, T, T)
+        ab_im = (a_re[:, :, None] * b_im[:, None, :]
+                 + a_im[:, :, None] * b_re[:, None, :])
+        sub_re = ab_re * inv_re[:, None, None] - ab_im * inv_im[:, None, None]
+        sub_im = ab_re * inv_im[:, None, None] + ab_im * inv_re[:, None, None]
+        new_sr = (sr - sub_re) / lam
+        new_si = (si - sub_im) / lam
+        y_re = jnp.sum(new_sr * xr + new_si * xi, axis=2)  # (BM, T)
+        y_im = jnp.sum(new_si * xr - new_sr * xi, axis=2)
+        # H[o, b*M+m, t] += err[o, b] * Y[b*M+m, t]: broadcast err over m
+        ef_re = jnp.broadcast_to(
+            e_re[:, :, None], (n_modes, n_batch, n_modes)).reshape(
+            n_modes, BM)
+        ef_im = jnp.broadcast_to(
+            e_im[:, :, None], (n_modes, n_batch, n_modes)).reshape(
+            n_modes, BM)
+        upd_re = ef_re[:, :, None] * y_re[None] - ef_im[:, :, None] * y_im[None]
+        upd_im = ef_re[:, :, None] * y_im[None] + ef_im[:, :, None] * y_re[None]
+
+        live = (b * block + i) < n_sym
+        h_re[...] = jnp.where(live, hr + upd_re, hr)
+        h_im[...] = jnp.where(live, hi + upd_im, hi)
+        sd_re[...] = jnp.where(live, new_sr, sr)
+        sd_im[...] = jnp.where(live, new_si, si)
+
+        out_re_ref[i] = o_re
+        out_im_ref[i] = o_im
+        return 0
+
+    jax.lax.fori_loop(0, block, body, 0)
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _():
+        hout_re_ref[...] = h_re[...]
+        hout_im_ref[...] = h_im[...]
+        sdout_re_ref[...] = sd_re[...]
+        sdout_im_ref[...] = sd_im[...]
+
+
+@partial(jax.jit,
+         static_argnames=("n_taps", "sps", "lam", "block", "alg", "qam_grid",
+                          "interpret"))
+def _rls_run_batch(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
+                   h0_re, h0_im, sd0_re, sd0_im, n_taps, sps, lam,
+                   block=256, alg="rls", qam_grid=None, interpret=False):
+    """sig_*: (B, N, modes); ref_*: (B, nSym, modes);
+    h0_*: (B, modes, modes, T); sd0_*: (B, modes, T, T)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_batch, _, n_modes = sig_re.shape
+    BM = n_batch * n_modes
+    n_sym = ref_re.shape[1]
+    n_blocks = int(np.ceil(n_sym / block))
+    n_pad_sym = n_blocks * block
+    l_pad = n_taps // 2
+
+    def windows(x):  # (B, N, modes) -> (n_pad_sym, B*modes, taps)
+        xp = jnp.pad(x, ((0, 0),
+                         (l_pad, l_pad + sps + n_taps + n_pad_sym * sps
+                          - x.shape[1]), (0, 0)))
+        idx = np.arange(n_pad_sym)[:, None] * sps + np.arange(n_taps)[None, :]
+        w = xp[:, jnp.asarray(idx)]  # (B, n_pad_sym, taps, modes)
+        return w.transpose(1, 0, 3, 2).reshape(n_pad_sym, BM, n_taps)
+
+    w_re = windows(sig_re)
+    w_im = windows(sig_im)
+
+    def refs(r):  # (B, nSym, modes) -> (n_pad_sym, modes, B)
+        rp = jnp.pad(r, ((0, 0), (0, n_pad_sym - n_sym), (0, 0)))
+        return rp.transpose(1, 2, 0)
+
+    rp_re = refs(ref_re)
+    rp_im = refs(ref_im)
+    # H fused: (modes_out, B*modes, T)
+    hf_re = h0_re.transpose(1, 0, 2, 3).reshape(n_modes, BM, n_taps)
+    hf_im = h0_im.transpose(1, 0, 2, 3).reshape(n_modes, BM, n_taps)
+    sdf_re = sd0_re.reshape(BM, n_taps, n_taps)
+    sdf_im = sd0_im.reshape(BM, n_taps, n_taps)
+    m_const = int(const_re.shape[0])
+
+    kernel = partial(_kernel_batch, block=block, n_modes=n_modes,
+                     n_batch=n_batch, lam=lam, n_sym=n_sym, alg=alg,
+                     qam_grid=qam_grid)
+    mmt = (n_modes, BM, n_taps)
+    mtt = (BM, n_taps, n_taps)
+    full = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block, BM, n_taps), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block, BM, n_taps), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block, n_modes, n_batch), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block, n_modes, n_batch), lambda i: (i, 0, 0)),
+            full((1, m_const)),
+            full((1, m_const)),
+            full(mmt), full(mmt), full(mtt), full(mtt),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, n_modes, n_batch), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block, n_modes, n_batch), lambda i: (i, 0, 0)),
+            full(mmt), full(mmt), full(mtt), full(mtt),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad_sym, n_modes, n_batch), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad_sym, n_modes, n_batch), jnp.float32),
+            jax.ShapeDtypeStruct(mmt, jnp.float32),
+            jax.ShapeDtypeStruct(mmt, jnp.float32),
+            jax.ShapeDtypeStruct(mtt, jnp.float32),
+            jax.ShapeDtypeStruct(mtt, jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(mmt, jnp.float32), pltpu.VMEM(mmt, jnp.float32),
+            pltpu.VMEM(mtt, jnp.float32), pltpu.VMEM(mtt, jnp.float32),
+        ],
+        interpret=interpret,
+    )(w_re, w_im, rp_re, rp_im, const_re[None, :], const_im[None, :],
+      hf_re, hf_im, sdf_re, sdf_im)
+    out_re, out_im, hr, hi, sdr, sdi = outs
+    # (n_pad_sym, modes, B) -> (B, nSym, modes)
+    y_re = out_re[:n_sym].transpose(2, 0, 1)
+    y_im = out_im[:n_sym].transpose(2, 0, 1)
+    h_re = hr.reshape(n_modes, n_batch, n_modes, n_taps).transpose(1, 0, 2, 3)
+    h_im = hi.reshape(n_modes, n_batch, n_modes, n_taps).transpose(1, 0, 2, 3)
+    sd_re = sdr.reshape(n_batch, n_modes, n_taps, n_taps)
+    sd_im = sdi.reshape(n_batch, n_modes, n_taps, n_taps)
+    return y_re, y_im, h_re, h_im, sd_re, sd_im
+
+
+def mimo_rls_pallas_batch(sig, symb_ref, const, alg="rls", n_taps=15, sps=2,
+                          lam=0.99, block=256, H0=None, Sd0=None,
+                          interpret=False):
+    """Sublane-batched Pallas RLS / DD-RLS equalizer over B signals.
+
+    ``sig``: (B, N, modes); ``symb_ref``: (B, nSym, modes) (or None for
+    'dd-rls'). Per-signal semantics identical to :func:`mimo_rls_pallas`
+    (reference rlsUp/ddrlsUp, equalization.py:575,716) — the B independent
+    recurrences share one kernel's sublane axis instead of idling it.
+    For 'dd-rls' the constellation must be square QAM (the O(1) quantized
+    slicer; the batched kernel has no argmin fallback).
+
+    Returns (y (B, nSym, modes) complex, H (B, modes, modes, taps),
+    Sd (B, modes, taps, taps)).
+    """
+    sig = jnp.asarray(sig)
+    n_batch, _, n_modes = sig.shape
+    sig_re, sig_im = split_ri(sig)
+    const = np.asarray(const).astype(np.complex64)
+    if symb_ref is None:
+        if alg == "rls":
+            raise ValueError("symb_ref is required for alg='rls'")
+        n_sym = sig_re.shape[1] // sps
+        ref_re = ref_im = jnp.zeros((n_batch, n_sym, n_modes), jnp.float32)
+    else:
+        ref_re, ref_im = split_ri(symb_ref)
+    if H0 is None:
+        h0 = np.zeros((n_batch, n_modes, n_modes, n_taps), np.complex64)
+        h0[:, np.arange(n_modes), np.arange(n_modes), n_taps // 2] = 1.0
+    else:
+        h0 = np.asarray(H0).astype(np.complex64)
+    if Sd0 is None:
+        sd0 = np.tile(np.eye(n_taps, dtype=np.complex64),
+                      (n_batch, n_modes, 1, 1))
+    else:
+        sd0 = np.asarray(Sd0).astype(np.complex64)
+
+    qam_grid = _square_qam_levels(const.real, const.imag)
+    if alg != "rls" and qam_grid is None:
+        raise ValueError("batched dd-rls requires a square-QAM "
+                         "constellation (quantized slicer)")
+    y_re, y_im, hr, hi, sdr, sdi = _rls_run_batch(
+        sig_re, sig_im, ref_re, ref_im,
+        jnp.asarray(const.real), jnp.asarray(const.imag),
+        jnp.asarray(h0.real), jnp.asarray(h0.imag),
+        jnp.asarray(sd0.real), jnp.asarray(sd0.imag),
+        int(n_taps), int(sps), float(lam), int(block), str(alg), qam_grid,
+        bool(interpret),
+    )
+    return y_re + 1j * y_im, hr + 1j * hi, sdr + 1j * sdi
 
 
 def mimo_rls_pallas(sig, symb_ref, const, alg="rls", n_taps=15, sps=2,
