@@ -337,6 +337,58 @@ def test_qc_fused_corrects_errors_and_early_exit():
     assert np.array_equal(np.asarray(fail), np.asarray(fail2))
 
 
+@pytest.mark.slow
+def test_dvbs2_fer_waterfall_pinned():
+    """Coded-performance regression: the DVB-S2 R4/5 64800b FER waterfall
+    (NMSA-20, bf16 messages, BPSK/AWGN) is pinned at three Es/N0 points.
+
+    Measured with this exact seed (2026-08, 192 codewords/point):
+    FER(1.7 dB) = 0.995, FER(1.9 dB) = 0.073, FER(2.1 dB) = 0.000.
+    The slope is ~1 decade / 0.1 dB here, so a 0.2 dB decoder regression
+    (e.g. in the bf16 message path or the QC staircase masking) pushes the
+    1.9 dB point to FER ~1 and fails the bounds; a silent *improvement*
+    (changed algorithm) trips the 1.7 dB lower bound and must be re-pinned
+    deliberately. Curve position cross-check: the DVB-S2 standard's ideal
+    QPSK R4/5 threshold is Es/N0 = 4.68 dB (EN 302 307-1 Table 13), i.e.
+    1.67 dB per-dimension — our 50%-FER point of ~1.8 dB is the expected
+    ~0.15 dB off ideal for 20-iteration normalized min-sum without the
+    outer BCH. (The reference package's own decoder is waterfall-validated
+    the same way in examples/test_fec.ipynb; its numba kernels are not
+    installable here, reference optic/comm/fec.py:684.)
+    """
+    from opticommpy_tpu.comm import fec_qc
+    from opticommpy_tpu.comm.fec import standard_ldpc
+
+    n, R, k = 64800, "4/5", 51840
+    _, edges = standard_ldpc("DVBS2", n, R)
+    dec = fec_qc.make_qc_decoder(n, R, 20, "NMSA", "bf16", early_exit=True,
+                                 backend="xla")
+    rng = np.random.default_rng(42)
+    B, n_chunks = 64, 3
+
+    def fer_at(snr_db):
+        sigma = np.sqrt(0.5 * 10 ** (-snr_db / 10))
+        fails = 0
+        for _ in range(n_chunks):
+            bits = rng.integers(0, 2, size=(k, B)).astype(np.int8)
+            cw = np.asarray(encode_ldpc(jnp.asarray(bits), edges=edges))
+            y = (1 - 2.0 * cw) + sigma * rng.normal(size=cw.shape)
+            llr = jnp.asarray((2 * y / sigma**2).astype(np.float32))
+            out, _, _ = dec(llr)
+            decoded = (np.asarray(out, np.float32) < 0).astype(np.int8)
+            fails += int((decoded != cw).any(axis=0).sum())
+        return fails / (B * n_chunks)
+
+    # NOTE: fer_at consumes rng state sequentially — keep the point order
+    # (1.7, 1.9, 2.1) or the pinned values move.
+    f17 = fer_at(1.7)
+    f19 = fer_at(1.9)
+    f21 = fer_at(2.1)
+    assert f17 >= 0.9, f"FER(1.7 dB) = {f17}: curve moved left (re-pin?)"
+    assert 0.01 <= f19 <= 0.3, f"FER(1.9 dB) = {f19}: waterfall shifted"
+    assert f21 <= 0.02, f"FER(2.1 dB) = {f21}: error floor appeared"
+
+
 def test_lift_decoder_matches_bucketed():
     """The lifted-circulant roll decoder (fec_lift.py) reproduces the
     degree-bucketed gather decoder on 802.11n and AR4JA: identical totals,
