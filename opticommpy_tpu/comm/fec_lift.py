@@ -185,8 +185,10 @@ def make_lift_decoder(mode, n, R, max_iter, alg="MSA", msg_dtype="f32",
                 x.dtype)
     else:
         check_update = _check_msa_slots
-    var_order = jnp.asarray(tb["var_order"])
-    pos_back = jnp.asarray(tb["pos_of_v"])
+    # numpy (not jnp): the builder may run under an outer jit trace, where
+    # jnp.asarray binds tracer constants that leak through lru_cache
+    var_order = tb["var_order"]
+    pos_back = tb["pos_of_v"]
 
     def v2c(T):
         """Check-aligned totals per bucket: list of (d, ng, L, B) mdt."""

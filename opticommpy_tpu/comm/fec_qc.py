@@ -180,12 +180,18 @@ def make_qc_decoder(n, R, max_iter, alg="MSA", msg_dtype="f32",
     k, m, q, G, S = tb["k"], tb["m"], tb["q"], tb["G"], tb["S"]
     g_tab, s_tab = tb["g_tab"], tb["s_tab"]
     pos_of_g = tb["pos_of_g"]
-    order_rows = jnp.asarray(tb["order_rows"])
+    order_rows = tb["order_rows"]  # numpy: builders may run under a trace
     on_accel = jax.default_backend() != "cpu"
-    use_fused = backend == "fused" or (
+    use_fused = backend in ("fused", "mega") or (
         backend == "auto" and alg in ("MSA", "NMSA") and on_accel)
     if use_fused:
-        return _make_fused_decoder(tb, max_iter, alg, msg_dtype, early_exit)
+        # 'mega' = whole decode in one resident-totals kernel
+        # (kernels/qc_mega.py; no early exit — the grid is fixed).
+        # Measured bit-identical AND equal-speed to 'fused' on v5e at
+        # B=128 — the decode is VPU-compute bound, so eliminating the
+        # totals traffic doesn't move throughput; kept opt-in.
+        return _make_fused_decoder(tb, max_iter, alg, msg_dtype,
+                                   early_exit, backend == "mega")
     # ``backend``: 'pallas' fuses the check update into one VMEM-resident
     # Pallas pass (one HBM read + one write vs ~5 re-streams as XLA slab
     # ops); 'auto' uses it for MSA/NMSA on accelerator backends and the
@@ -304,7 +310,8 @@ def make_qc_decoder(n, R, max_iter, alg="MSA", msg_dtype="f32",
     return decode
 
 
-def _make_fused_decoder(tb, max_iter, alg, msg_dtype, early_exit):
+def _make_fused_decoder(tb, max_iter, alg, msg_dtype, early_exit,
+                        want_mega=False):
     """Fully-fused Pallas QC decoder (round 3): carry ``(M, T, Tp)``.
 
     The edge tensor X = v2c(T) - M is never materialized — the check-column
@@ -330,21 +337,26 @@ def _make_fused_decoder(tb, max_iter, alg, msg_dtype, early_exit):
     k, m, q, G, S = tb["k"], tb["m"], tb["q"], tb["G"], tb["S"]
     g_tab, s_tab = tb["g_tab"], tb["s_tab"]
     pos_of_g = tb["pos_of_g"]
-    order_rows = jnp.asarray(tb["order_rows"])
+    # all builder-level tables stay NUMPY: make_qc_decoder may first run
+    # inside an outer jit trace (e.g. coherent_coded_serve), where
+    # jnp.asarray would bind tracer constants that leak through lru_cache
+    order_rows = tb["order_rows"]
     mdt = jnp.bfloat16 if msg_dtype == "bf16" else jnp.float32
     msize = jnp.dtype(mdt).itemsize
     interpret = jax.default_backend() == "cpu"
 
     # check-kernel tables: (S, q) T-plane index / roll per column
-    pos_tab = jnp.asarray(pos_of_g[g_tab].T.copy())  # (S, q)
-    sh_tab = jnp.asarray(s_tab.T.copy() % Z)
+    pos_tab = np.ascontiguousarray(pos_of_g[g_tab].T)  # (S, q)
+    sh_tab = np.ascontiguousarray(s_tab.T % Z)
+    bsh_tab = np.ascontiguousarray((Z - s_tab.T) % Z).astype(np.int32)
     # variable-kernel tables: per bucket, (d, ng) slot / column / back-roll
     sl_tabs, col_tabs, sh_tabs = [], [], []
     for ea in tb["ent_addr"]:  # (ng, d, 3) of (a0, slot, shift)
-        sl_tabs.append(jnp.asarray(ea[:, :, 1].T.copy().astype(np.int32)))
-        col_tabs.append(jnp.asarray(ea[:, :, 0].T.copy().astype(np.int32)))
-        sh_tabs.append(jnp.asarray(
-            ((Z - ea[:, :, 2]) % Z).T.copy().astype(np.int32)))
+        sl_tabs.append(np.ascontiguousarray(ea[:, :, 1].T).astype(np.int32))
+        col_tabs.append(np.ascontiguousarray(ea[:, :, 0].T).astype(np.int32))
+        sh_tabs.append(
+            np.ascontiguousarray((Z - ea[:, :, 2]) % Z).T.copy().astype(
+                np.int32))
     buckets = tb["buckets"]
     K = max_iter + 1
 
@@ -364,6 +376,29 @@ def _make_fused_decoder(tb, max_iter, alg, msg_dtype, early_exit):
         llr_p = tile_batch(
             llrs[k:].reshape(Z, q, B).transpose(1, 0, 2), nb, bt)
         llr_p4 = llr_p.reshape(nb, q, Z, bt)
+
+        if want_mega:
+            from opticommpy_tpu.kernels.qc_mega import qc_decode_mega
+
+            try:
+                M0 = jnp.zeros((S + 2, nb * q, Z, bt), mdt)
+                fT, fTp, stats = qc_decode_mega(
+                    llr_info.reshape(nb, G * Z, bt),
+                    llr_p.reshape(nb, q * Z, bt), M0, pos_tab, sh_tab,
+                    bsh_tab, G, K, alpha=alpha, interpret=interpret)
+                fT = untile_batch(fT.reshape(nb * G, Z, bt), nb, bt)
+                fTp = untile_batch(fTp.reshape(nb * q, Z, bt), nb, bt)
+                done = stats[:, 0].reshape(B) > 0.5
+                n_iters = stats[:, 8].reshape(B).astype(jnp.int32)
+                out_info = fT[jnp.asarray(pos_of_g)].reshape(G * Z, B)
+                out_p = fTp.transpose(1, 0, 2).reshape(m, B)
+                out = jnp.concatenate([out_info, out_p])
+                if pad:
+                    out = out[:, :B_in]
+                    n_iters, done = n_iters[:B_in], done[:B_in]
+                return out, n_iters, ~done
+            except ValueError:
+                pass  # state exceeds the VMEM budget: multi-kernel path
 
         M0 = jnp.zeros((S + 2, nb * q, Z, bt), mdt)
         carry0 = (M0, llr_info, llr_info.astype(mdt), llr_p,

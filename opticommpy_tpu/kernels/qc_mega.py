@@ -1,0 +1,289 @@
+"""Resident-totals QC LDPC decode megakernel: the WHOLE decode in one
+Pallas program, variable/parity totals living in VMEM across iterations.
+
+Why: the three-kernel fused iteration (qc_pallas.py) still moves the
+totals T through HBM twice per iteration and pays a 16-plane scattered
+DMA train per check column (measured DMA-issue/VPU bound at ~1.9 ms per
+iteration, R4/5 B=128). v5e's *physical* VMEM is ~128 MB — the 16 MB
+figure is only the default scoped limit (probed: a 110 MB scratch
+compiles and runs) — so the entire per-chunk decoder state fits on-chip:
+
+    T_prev   (G*Z, bt) message-dtype   previous-iteration totals
+    T_acc    (G*Z, bt) f32             next totals accumulator
+    Tp_prev/Tp_acc                      parity-column totals
+    fT/fTp   message-dtype              convergence-frozen outputs
+    votes/done/n_iter (8, bt)           bookkeeping
+
+Only the check messages M (the one tensor that genuinely exceeds VMEM)
+stream through HBM — one read + one write per column per iteration, via
+an aliased blocked input/output. Grid = (batch chunk, iteration,
+column | bookkeeping): column steps run the exact two-min check update
+against T_prev (in-register dynamic rotates) and scatter the new
+messages' contributions into T_acc with dynamically-offset VMEM
+read-modify-writes (sequential grid -> duplicate group entries within a
+column are safe); the bookkeeping step folds the parity vote with the
+one-step-delayed done/freeze semantics of the fused path, swaps
+T_prev <- round(T_acc), and re-initializes T_acc from the channel LLRs
+by a direct HBM->VMEM DMA.
+
+Semantics identical to fec_qc's fused/XLA paths (same delayed-vote
+bookkeeping; f32 totals differ only in accumulation order). Early exit
+is NOT expressible in a fixed grid — callers wanting earlyExit use the
+multi-kernel path. Reference: /root/reference/optic/comm/fec.py:505,:684.
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Z = 360
+
+
+def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref, m_ref,
+               mout_ref, ft_ref, ftp_ref, stats_ref,
+               tprev, tacc, tpprev, tpacc, x_scr, m1_ref, m2_ref,
+               parx_ref, partot_ref, vote_ref, done_ref, niter_ref, sem,
+               *, S, q, G, K, alpha, mdt):
+    D = S + 2
+    b = pl.program_id(0)
+    k = pl.program_id(1)
+    j = pl.program_id(2)
+    bt = m_ref.shape[-1]
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (Z, bt), 0) == 0
+
+    def dma_init():
+        cp = pltpu.make_async_copy(llr_ref.at[b], tacc, sem)
+        cp.start()
+        cp.wait()
+        cp = pltpu.make_async_copy(llrp_ref.at[b], tpacc, sem)
+        cp.start()
+        cp.wait()
+
+    @pl.when((k == 0) & (j == 0))
+    def _():  # chunk init
+        dma_init()
+        tprev[...] = tacc[...].astype(mdt)
+        tpprev[...] = tpacc[...].astype(mdt)
+        done_ref[...] = jnp.zeros((8, bt), jnp.float32)
+        niter_ref[...] = jnp.zeros((8, bt), jnp.float32)
+
+    @pl.when(j < q)
+    def _():  # check column j + T_acc scatter
+        inf = jnp.full((Z, bt), jnp.inf, jnp.float32)
+        m1_ref[...] = inf
+        m2_ref[...] = inf
+        parx_ref[...] = jnp.zeros((Z, bt), jnp.int32)
+        partot_ref[...] = jnp.zeros((Z, bt), jnp.int32)
+
+        def accum(sl, x32, tot_neg):
+            mag = jnp.abs(x32)
+            m2_ref[...] = jnp.minimum(
+                m2_ref[...], jnp.maximum(m1_ref[...], mag))
+            m1_ref[...] = jnp.minimum(m1_ref[...], mag)
+            parx_ref[...] = parx_ref[...] ^ (x32 < 0).astype(jnp.int32)
+            partot_ref[...] = partot_ref[...] ^ tot_neg.astype(jnp.int32)
+            x_scr[sl] = x32.astype(mdt)
+
+        for sl in range(S):
+            # dynamic-offset plane read from the resident totals; f32
+            # BEFORE the roll (Mosaic dynamic rotate is 32-bit only)
+            plane = tprev[pl.ds(pos_ref[sl, j] * Z, Z), :].astype(
+                jnp.float32)
+            tot32 = pltpu.roll(plane, sh_ref[sl, j], axis=0)
+            x32 = tot32 - m_ref[sl, 0].astype(jnp.float32)
+            if mdt == jnp.bfloat16:
+                x32 = x32.astype(mdt).astype(jnp.float32)
+            accum(sl, x32, tot32 < 0)
+
+        # slot S: accumulator self edge p_j -> c_j
+        tot32 = tpprev[pl.ds(j * Z, Z), :].astype(jnp.float32)
+        x32 = tot32 - m_ref[S, 0].astype(jnp.float32)
+        if mdt == jnp.bfloat16:
+            x32 = x32.astype(mdt).astype(jnp.float32)
+        accum(S, x32, tot32 < 0)
+
+        # slot S+1: staircase p_{j-1} -> c_j (check 0 has no p_{-1})
+        first = j == 0
+        jm1 = jnp.where(first, q - 1, j - 1)
+        plane = tpprev[pl.ds(jm1 * Z, Z), :].astype(jnp.float32)
+        tot32 = pltpu.roll(plane, jnp.where(first, 1, 0), axis=0)
+        x32 = tot32 - m_ref[S + 1, 0].astype(jnp.float32)
+        if mdt == jnp.bfloat16:
+            x32 = x32.astype(mdt).astype(jnp.float32)
+        mask0 = row0 & first
+        x32 = jnp.where(mask0, jnp.inf, x32)
+        accum(S + 1, x32, (tot32 < 0) & ~mask0)
+
+        ok = jnp.broadcast_to(
+            jnp.all(partot_ref[...] == 0, axis=0, keepdims=True),
+            (8, bt)).astype(jnp.float32)
+        vote_ref[...] = jnp.where(
+            j == 0, ok, jnp.minimum(vote_ref[...], ok))
+
+        # leave-one-out outputs + contributions into the accumulators
+        m1 = m1_ref[...]
+        m2 = m2_ref[...]
+
+        def loo(sl):
+            x32 = x_scr[sl].astype(jnp.float32)
+            om = jnp.where(jnp.abs(x32) == m1, m2, m1)
+            if alpha is not None:
+                om = om * alpha
+            flip = (parx_ref[...] ^ (x32 < 0).astype(jnp.int32)) == 1
+            return jnp.where(flip, -om, om)
+
+        for sl in range(S):
+            mnew = loo(sl)
+            mout_ref[sl, 0] = mnew.astype(mdt)
+            if mdt == jnp.bfloat16:
+                mnew = mnew.astype(mdt).astype(jnp.float32)
+            off = pos_ref[sl, j] * Z
+            back = pltpu.roll(mnew, bsh_ref[sl, j], axis=0)
+            tacc[pl.ds(off, Z), :] = tacc[pl.ds(off, Z), :] + back
+        mS = loo(S)
+        mout_ref[S, 0] = mS.astype(mdt)
+        if mdt == jnp.bfloat16:
+            mS = mS.astype(mdt).astype(jnp.float32)
+        tpacc[pl.ds(j * Z, Z), :] = tpacc[pl.ds(j * Z, Z), :] + mS
+        mS1 = loo(S + 1)
+        mout_ref[S + 1, 0] = mS1.astype(mdt)
+        if mdt == jnp.bfloat16:
+            mS1 = mS1.astype(mdt).astype(jnp.float32)
+        # column j's staircase message reaches parity column j-1; column
+        # 0 wraps to q-1 with a -1 row roll and a zeroed check-0 row
+        d = jnp.where(mask0, 0.0, mS1)
+        d = pltpu.roll(d, jnp.where(first, Z - 1, 0), axis=0)
+        offp = jm1 * Z
+        tpacc[pl.ds(offp, Z), :] = tpacc[pl.ds(offp, Z), :] + d
+
+    @pl.when(j == q)
+    def _():  # bookkeeping: fold vote of T_k, freeze T_{k+1}, swap
+        ok = vote_ref[...] * jnp.where(k > 0, 1.0, 0.0)
+        done = jnp.maximum(done_ref[...], ok)
+        done_ref[...] = done
+        last = k == K - 1
+        live = (done[0:1, :] < 0.5) & ~last
+        niter_ref[...] = niter_ref[...] + jnp.where(
+            jnp.broadcast_to(live, (8, bt)), 1.0, 0.0)
+        frozen = (done[0:1, :] > 0.5) | last
+
+        # freeze pass in multi-plane chunks (dynamic ds offsets)
+        ch = max(c for c in (8, 6, 5, 4, 3, 2, 1) if G % c == 0)
+        fro_c = jnp.broadcast_to(frozen, (ch * Z, bt))
+
+        def fz(body_i, _):
+            off = body_i * (ch * Z)
+            cur = ft_ref[0, pl.ds(off, ch * Z), :]
+            new = tacc[pl.ds(off, ch * Z), :]
+            ft_ref[0, pl.ds(off, ch * Z), :] = jnp.where(fro_c, cur, new)
+            return 0
+
+        jax.lax.fori_loop(0, G // ch, fz, 0)
+
+        chp = max(c for c in (8, 6, 5, 4, 3, 2, 1) if q % c == 0)
+        fro_p = jnp.broadcast_to(frozen, (chp * Z, bt))
+
+        def fzp(body_i, _):
+            off = body_i * (chp * Z)
+            cur = ftp_ref[0, pl.ds(off, chp * Z), :]
+            new = tpacc[pl.ds(off, chp * Z), :]
+            ftp_ref[0, pl.ds(off, chp * Z), :] = jnp.where(fro_p, cur, new)
+            return 0
+
+        jax.lax.fori_loop(0, q // chp, fzp, 0)
+
+        stats_ref[0:8] = done_ref[...]
+        stats_ref[8:16] = niter_ref[...]
+
+        @pl.when(~last)
+        def _():
+            tprev[...] = tacc[...].astype(mdt)
+            tpprev[...] = tpacc[...].astype(mdt)
+            dma_init()
+
+
+def qc_decode_mega(llr_i, llr_p, M0, pos_tab, sh_tab, bsh_tab, G, K, *,
+                   alpha=None, interpret=False):
+    """Run the whole QC BP decode in one kernel.
+
+    llr_i: (nb, G*Z, bt) f32; llr_p: (nb, q*Z, bt) f32 (tiled layouts).
+    M0: (S+2, nb*q, Z, bt) initial messages (zeros).
+    pos/sh/bsh tabs: (S, q) int32.
+    Returns (fT (nb, G*Z, bt) f32, fTp (nb, q*Z, bt) f32,
+    stats (nb, 16, bt) f32 — rows 0..7 done, 8..15 n_iters).
+    """
+    S, q = pos_tab.shape
+    D = S + 2
+    nb = llr_i.shape[0]
+    bt = llr_i.shape[-1]
+    mdt = M0.dtype
+    msz = jnp.dtype(mdt).itemsize
+    GZ = G * Z
+
+    state = (GZ * bt * (msz + 4 + 4)             # tprev, tacc, fT
+             + q * Z * bt * (msz + 4 + 4)         # tpprev, tpacc, fTp
+             + D * Z * bt * msz + 8 * Z * bt * 4  # x_scr + planes
+             + D * Z * bt * msz * 4)              # m in/out double-buffered
+    if state > 100 * 2**20:
+        raise ValueError(
+            f"megakernel state {state/2**20:.1f} MB exceeds the ~100 MB "
+            "VMEM budget; use the multi-kernel fused path")
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb, K, q + 1),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # llr_i (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # llr_p (manual DMA)
+            pl.BlockSpec(                           # M (aliased)
+                (D, 1, Z, bt),
+                lambda b, k, j, pos, sh, bsh:
+                (0, b * q + jnp.minimum(j, q - 1), 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (D, 1, Z, bt),
+                lambda b, k, j, pos, sh, bsh:
+                (0, b * q + jnp.minimum(j, q - 1), 0, 0)),
+            pl.BlockSpec((1, GZ, bt),
+                         lambda b, k, j, pos, sh, bsh: (b, 0, 0)),
+            pl.BlockSpec((1, q * Z, bt),
+                         lambda b, k, j, pos, sh, bsh: (b, 0, 0)),
+            pl.BlockSpec((16, bt), lambda b, k, j, pos, sh, bsh: (b, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((GZ, bt), mdt),          # tprev
+            pltpu.VMEM((GZ, bt), jnp.float32),  # tacc
+            pltpu.VMEM((q * Z, bt), mdt),       # tpprev
+            pltpu.VMEM((q * Z, bt), jnp.float32),  # tpacc
+            pltpu.VMEM((D, Z, bt), mdt),        # x_scr
+            pltpu.VMEM((Z, bt), jnp.float32),   # m1
+            pltpu.VMEM((Z, bt), jnp.float32),   # m2
+            pltpu.VMEM((Z, bt), jnp.int32),     # parx
+            pltpu.VMEM((Z, bt), jnp.int32),     # partot
+            pltpu.VMEM((8, bt), jnp.float32),   # vote
+            pltpu.VMEM((8, bt), jnp.float32),   # done
+            pltpu.VMEM((8, bt), jnp.float32),   # niter
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    m_out, fT, fTp, stats = pl.pallas_call(
+        partial(_mega_body, S=S, q=q, G=G, K=K, alpha=alpha, mdt=mdt),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((D, nb * q, Z, bt), mdt),
+            jax.ShapeDtypeStruct((nb, GZ, bt), jnp.float32),
+            jax.ShapeDtypeStruct((nb, q * Z, bt), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 16, bt), jnp.float32),
+        ),
+        input_output_aliases={5: 0},  # M (after the 3 prefetch + 2 ANY)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(state * 1.6) + 8 * 2**20),
+        interpret=interpret,
+    )(pos_tab, sh_tab, bsh_tab, llr_i, llr_p, M0)
+    return fT, fTp, stats

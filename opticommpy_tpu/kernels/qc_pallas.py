@@ -78,17 +78,12 @@ def pick_bt(B, S, msize, tsize):
     """Batch tile for the fused QC kernels.
 
     Below 128 the lane padding makes every tile cost the same VMEM, so a
-    batch <= 128 runs as one chunk; above, the widest of (512, 256, 128)
-    whose check-kernel working set stays under the raised scoped-vmem
-    target (the v5e default limit is 16 MB but the physical VMEM is
-    larger; check_column_update requests what the model says it needs)."""
+    batch <= 128 runs as one chunk; above, 128 — measured on v5e, wider
+    tiles are SLOWER (R4/5 B=256 bf16: 241 Mbit/s at bt=256 vs 266 at
+    bt=128; the deeper per-step VMEM working set costs more than the
+    halved step count saves)."""
     b8 = B + (-B) % 8
-    if b8 <= 128:
-        return b8
-    for bt in (512, 256, 128):
-        if bt <= b8 and _check_vmem_need(S, msize, tsize, bt) <= _VMEM_TARGET:
-            return bt
-    return 128
+    return min(b8, 128)
 
 
 def tile_batch(x, nb, bt):
@@ -245,7 +240,10 @@ def check_column_update(T, Tp, M, pos_tab, sh_tab, G, *, alpha=None,
     )
     msz = jnp.dtype(mdt).itemsize
     tsz = jnp.dtype(T.dtype).itemsize
-    need = _check_vmem_need(S, msz, tsz, bt)
+    # measured actuals run ~1.4x the model (outputs/scratch buffering);
+    # request generous headroom — the 16 MB default is a soft scoped
+    # limit, the physical VMEM is far larger
+    need = int(_check_vmem_need(S, msz, tsz, bt) * 1.5)
     m_new, par = pl.pallas_call(
         partial(_check_body, S=S, q=q, alpha=alpha, mdt=mdt),
         grid_spec=grid_spec,
@@ -255,6 +253,8 @@ def check_column_update(T, Tp, M, pos_tab, sh_tab, G, *, alpha=None,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=max(16 * 2**20, int(need * 1.2))),
+        # (limit = 1.8x the analytic model overall; R9/10 measured 18.8M
+        # against a 20.1M model, bt=256 R4/5 measured 33.4M against 23.6M)
         interpret=interpret,
     )(pos_tab, sh_tab, *([T] * S), Tp, Tp, M)
     return m_new, par
@@ -265,25 +265,32 @@ def check_column_update(T, Tp, M, pos_tab, sh_tab, G, *, alpha=None,
 # ---------------------------------------------------------------------------
 
 
-def _var_body(sl_ref, col_ref, sh_ref, *refs, d, tdt):
-    """One variable group of one batch chunk (grid: (nb, group)).
-    refs = d M-planes, llr, fT_old, freeze | T_new, fT_new [, T_copy]."""
-    i = pl.program_id(1)
-    m_refs = refs[:d]
-    llr_ref, ftold_ref, freeze_ref = refs[d], refs[d + 1], refs[d + 2]
-    tnew_ref, ftnew_ref = refs[d + 3], refs[d + 4]
-    tcopy_ref = refs[d + 5] if len(refs) > d + 5 else None
+def _var_body(sl_ref, col_ref, sh_ref, *refs, d, P, tdt):
+    """A strip of P variable groups of one batch chunk (grid: (nb, strip)).
+    refs = P*d M-planes, llr, fT_old, freeze | T_new, fT_new [, T_copy].
 
-    acc = llr_ref[0].astype(jnp.float32)
-    for j in range(d):
-        # f32 cast BEFORE the roll (Mosaic dynamic rotate is 32-bit only)
-        acc = acc + pltpu.roll(
-            m_refs[j][0, 0].astype(jnp.float32), sh_ref[j, i], axis=0)
-    tnew_ref[0] = acc
+    Strip-mining amortizes the per-grid-step pipeline sequencing: the
+    variable side is DMA-latency bound at one group per step (144 steps x
+    ~9 small plane fetches for R4/5), so each step handles P groups."""
+    i = pl.program_id(1)
+    m_refs = refs[:P * d]
+    llr_ref, ftold_ref, freeze_ref = refs[P * d], refs[P * d + 1], refs[P * d + 2]
+    tnew_ref, ftnew_ref = refs[P * d + 3], refs[P * d + 4]
+    tcopy_ref = refs[P * d + 5] if len(refs) > P * d + 5 else None
+
     frozen = freeze_ref[0:1, :] > 0.5  # (1, bt) -> broadcast over Z
-    ftnew_ref[0] = jnp.where(frozen, ftold_ref[0], acc)
-    if tcopy_ref is not None:
-        tcopy_ref[0] = acc.astype(tdt)
+    for p in range(P):
+        acc = llr_ref[0, p].astype(jnp.float32)
+        for j in range(d):
+            # f32 cast BEFORE the roll (Mosaic dynamic rotate is 32-bit
+            # only); shift table is (P*d, n_strips) with row p*d+j
+            acc = acc + pltpu.roll(
+                m_refs[p * d + j][0, 0].astype(jnp.float32),
+                sh_ref[p * d + j, i], axis=0)
+        tnew_ref[0, p] = acc
+        ftnew_ref[0, p] = jnp.where(frozen, ftold_ref[0, p], acc)
+        if tcopy_ref is not None:
+            tcopy_ref[0, p] = acc.astype(tdt)
 
 
 def var_totals_update(M_info, llr, fT_old, freeze, buckets, sl_tabs,
@@ -301,37 +308,71 @@ def var_totals_update(M_info, llr, fT_old, freeze, buckets, sl_tabs,
     bt = M_info.shape[-1]
     nb = M_info.shape[1] // q
     mdt = M_info.dtype
+    llr4 = llr.reshape(nb, G, Z, bt)
+    fT4 = fT_old.reshape(nb, G, Z, bt)
 
     outs = []
     off = 0
+    msz = jnp.dtype(mdt).itemsize
     for (d, ng), slt, colt, sht in zip(buckets, sl_tabs, col_tabs, sh_tabs):
+        # strip size: several groups per grid step amortize the per-step
+        # pipeline sequencing (the variable side is DMA-latency bound at
+        # one group/step). P must divide the bucket size AND the bucket
+        # offset (block-index alignment of the llr/fT views), and the
+        # strip's double-buffered working set must fit the raised
+        # scoped-vmem budget.
+        def v_need(P):
+            ins = P * d * Z * bt * msz + 2 * P * Z * bt * 4
+            outs = P * Z * bt * (4 + 4 + (msz if msg_copy else 0))
+            return 2 * (ins + outs)
+
+        P = 1
+        for cand in range(2, 9):
+            if (ng % cand == 0 and off % cand == 0 and cand * d <= 24
+                    and v_need(cand) * 1.5 <= 30 * 2**20):
+                P = cand
+        ns = ng // P
+        vlim = max(16 * 2**20, int(v_need(P) * 1.5))
+
+        def strip_tab(t):
+            # (d, ng) -> (P*d, ns): row p*d+j at strip s = t[j, s*P+p].
+            # Pure jnp: the tables may be TRACERS when the decoder builder
+            # first runs inside an outer jit trace (jnp.asarray of numpy
+            # binds a constant under the active trace).
+            return jnp.reshape(
+                jnp.transpose(jnp.reshape(t, (d, ns, P)), (2, 0, 1)),
+                (P * d, ns))
+
+        slt_s, colt_s, sht_s = strip_tab(slt), strip_tab(colt), strip_tab(sht)
+
         def m_spec(j):
             return pl.BlockSpec(
                 (1, 1, Z, bt),
                 lambda b, i, s, c, sh, j=j: (s[j, i], b * q + c[j, i], 0, 0))
 
-        def g_spec(off=off):
-            # bucket slice of the full (nb*G, Z, bt) llr / fT arrays
+        def g_spec(off=off, P=P):
+            # bucket slice of the (nb, G, Z, bt) llr / fT views
             return pl.BlockSpec(
-                (1, Z, bt), lambda b, i, s, c, sh: (b * G + off + i, 0, 0))
+                (1, P, Z, bt),
+                lambda b, i, s, c, sh: (b, off // P + i, 0, 0))
 
-        out_specs = [
-            pl.BlockSpec((1, Z, bt), lambda b, i, s, c, sh: (b * ng + i, 0, 0)),
-            pl.BlockSpec((1, Z, bt), lambda b, i, s, c, sh: (b * ng + i, 0, 0)),
-        ]
+        def o_spec(P=P):
+            return pl.BlockSpec(
+                (1, P, Z, bt), lambda b, i, s, c, sh: (b, i, 0, 0))
+
+        out_specs = [o_spec(), o_spec()]
         out_shape = [
-            jax.ShapeDtypeStruct((nb * ng, Z, bt), jnp.float32),
-            jax.ShapeDtypeStruct((nb * ng, Z, bt), jnp.float32),
+            jax.ShapeDtypeStruct((nb, ng, Z, bt), jnp.float32),
+            jax.ShapeDtypeStruct((nb, ng, Z, bt), jnp.float32),
         ]
         if msg_copy:
-            out_specs.append(pl.BlockSpec(
-                (1, Z, bt), lambda b, i, s, c, sh: (b * ng + i, 0, 0)))
-            out_shape.append(jax.ShapeDtypeStruct((nb * ng, Z, bt), mdt))
+            out_specs.append(o_spec())
+            out_shape.append(jax.ShapeDtypeStruct((nb, ng, Z, bt), mdt))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(nb, ng),
+            grid=(nb, ns),
             in_specs=(
-                [m_spec(j) for j in range(d)]
+                [m_spec(j) for j in range(P * d)]
                 + [
                     g_spec(),
                     g_spec(),
@@ -341,21 +382,19 @@ def var_totals_update(M_info, llr, fT_old, freeze, buckets, sl_tabs,
             out_specs=out_specs,
         )
         outs.append(pl.pallas_call(
-            partial(_var_body, d=d, tdt=mdt),
+            partial(_var_body, d=d, P=P, tdt=mdt),
             grid_spec=grid_spec,
             out_shape=tuple(out_shape),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vlim),
             interpret=interpret,
-        )(slt, colt, sht, *([M_info] * d), llr, fT_old, freeze))
+        )(slt_s, colt_s, sht_s, *([M_info] * (P * d)), llr4, fT4, freeze))
         off += ng
 
     nouts = 3 if msg_copy else 2
     merged = []
     for oi in range(nouts):
-        if nb == 1:
-            merged.append(jnp.concatenate([o[oi] for o in outs]))
-        else:
-            # per-bucket (nb, ng, Z, bt) chunks -> (nb*G, Z, bt) plane order
-            parts = [o[oi].reshape(nb, -1, Z, bt) for o in outs]
-            merged.append(
-                jnp.concatenate(parts, axis=1).reshape(-1, Z, bt))
+        # per-bucket (nb, ng, Z, bt) chunks -> (nb*G, Z, bt) plane order
+        merged.append(
+            jnp.concatenate([o[oi] for o in outs], axis=1).reshape(
+                -1, Z, bt))
     return tuple(merged)

@@ -304,6 +304,50 @@ def test_qc_fused_matches_xla_path():
 
 
 @pytest.mark.slow
+def test_qc_megakernel_matches_xla_path():
+    """The resident-totals megakernel (kernels/qc_mega.py, whole decode in
+    one Pallas program) reproduces the XLA roll decoder: same decisions,
+    iteration counts and failure flags; totals to f32 sum-order tolerance.
+    Also checked: building the decoder INSIDE an outer jit trace (the
+    coded-receiver composition) neither fails nor leaks tracers through
+    the lru_cache."""
+    import jax
+    import jax.numpy as jnp
+
+    from opticommpy_tpu.comm import fec_qc
+
+    rng = np.random.default_rng(13)
+    llrs = jnp.asarray(
+        (1.2 + rng.normal(scale=1.6, size=(64800, 8))).astype(np.float32))
+    for mdt in ("bf16", "f32"):
+        ref = fec_qc.make_qc_decoder(64800, "4/5", 3, "MSA", mdt,
+                                     backend="xla")
+        meg = fec_qc.make_qc_decoder(64800, "4/5", 3, "MSA", mdt,
+                                     backend="mega")
+        o1, i1, f1 = ref(llrs)
+        o2, i2, f2 = meg(llrs)
+        o1 = np.asarray(o1, np.float32)
+        o2 = np.asarray(o2, np.float32)
+        assert np.array_equal(np.asarray(i1), np.asarray(i2)), mdt
+        assert np.array_equal(np.asarray(f1), np.asarray(f2)), mdt
+        assert not (np.signbit(o1) != np.signbit(o2)).any(), mdt
+        assert np.abs(o1 - o2).max() / np.abs(o1).max() < 1e-5, mdt
+
+    # nested-in-jit construction + reuse of the cached decoder standalone
+    @jax.jit
+    def outer(llr):
+        dec = fec_qc.make_qc_decoder(64800, "4/5", 2, "NMSA", "bf16",
+                                     backend="fused")
+        return jnp.mean(dec(llr)[0])
+
+    a = float(outer(llrs))
+    dec = fec_qc.make_qc_decoder(64800, "4/5", 2, "NMSA", "bf16",
+                                 backend="fused")
+    b = float(jnp.mean(dec(llrs)[0]))
+    assert abs(a - b) < 1e-5 * max(1.0, abs(a))
+
+
+@pytest.mark.slow
 def test_qc_fused_corrects_errors_and_early_exit():
     """Fused decoder end-to-end: corrects AWGN errors on a real DVB-S2
     codeword batch (odd batch exercises the pad-to-8 path) and the
