@@ -10,9 +10,11 @@ is the headline); run manually: ``python bench_fec.py [--cpu]``.
 
 Measured on TPU v5e (2026-08): n=16200 MSA 53.8, SPA 56.2 Mbit/s at
 B=128 (26 ms/dispatch tunnel overhead included). DVB-S2 64800b R4/5,
-20 iters: gather-path 28-33 Mbit/s; quasi-cyclic roll-path (fec_qc, the
-decode_ldpc default for DVB-S2, fused Pallas check update) 117 (f32) /
-173 (bf16) Mbit/s at B=128 and 122 / 205.9 at B=256.
+20 iters: gather-path 28-33 Mbit/s; round-2 quasi-cyclic roll layout
+117 (f32) / 173 (bf16) Mbit/s at B=128; round-3 fully-fused Pallas
+iteration (backend='fused', the accelerator default) 216 at B=128 /
+305 at B=512 bf16. The resident-totals megakernel (backend='mega') is
+bit-identical and equal-speed at B=128 — the bound is VPU compute.
 """
 
 import json
