@@ -237,6 +237,16 @@ def _kernel_batch(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref,
         sd_re[...] = sd0_re_ref[...]
         sd_im[...] = sd0_im_ref[...]
 
+    # segmented fold/broadcast between the fused BM lane axis and the
+    # (signal) axis as tiny 0/1 matmuls — Mosaic rejects lane-dimension
+    # reshapes ("infer-vector-layout: unsupported shape cast")
+    bm_ids = jax.lax.broadcasted_iota(jnp.int32, (BM, n_batch), 0)
+    b_ids = jax.lax.broadcasted_iota(jnp.int32, (BM, n_batch), 1)
+    sel = (bm_ids // n_modes == b_ids).astype(jnp.float32)  # (BM, B)
+    selT_bm = jax.lax.broadcasted_iota(jnp.int32, (n_batch, BM), 1)
+    selT_b = jax.lax.broadcasted_iota(jnp.int32, (n_batch, BM), 0)
+    selT = (selT_bm // n_modes == selT_b).astype(jnp.float32)  # (B, BM)
+
     def body(i, _):
         w_re = win_re_ref[i]  # (BM, taps)
         w_im = win_im_ref[i]
@@ -245,8 +255,12 @@ def _kernel_batch(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref,
         # per-(o, bm) partial filter products, then fold m within signal
         p_re = jnp.sum(hr * w_re[None] - hi * w_im[None], axis=2)  # (Mo, BM)
         p_im = jnp.sum(hr * w_im[None] + hi * w_re[None], axis=2)
-        o_re = jnp.sum(p_re.reshape(n_modes, n_batch, n_modes), axis=2)
-        o_im = jnp.sum(p_im.reshape(n_modes, n_batch, n_modes), axis=2)
+        # precision=highest: the MXU's default bf16 input rounding would
+        # corrupt the selected f32 values
+        o_re = jnp.dot(p_re, sel, preferred_element_type=jnp.float32,
+                       precision="highest")
+        o_im = jnp.dot(p_im, sel, preferred_element_type=jnp.float32,
+                       precision="highest")
         # o_*: (Mo, B)
 
         if alg == "rls":
@@ -274,8 +288,10 @@ def _kernel_batch(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref,
         yi = w_im[:, :, None]
         b_re = jnp.sum(sr * yr - si * yi, axis=1)  # (BM, T)
         b_im = jnp.sum(si * yr + sr * yi, axis=1)
-        c_re = jnp.sum(w_re * a_re - w_im * a_im, axis=1)  # (BM,)
-        c_im = jnp.sum(w_re * a_im + w_im * a_re, axis=1)
+        # keepdims: 1-D intermediates crash the Mosaic layout inference
+        c_re = jnp.sum(w_re * a_re - w_im * a_im, axis=1,
+                       keepdims=True)  # (BM, 1)
+        c_im = jnp.sum(w_re * a_im + w_im * a_re, axis=1, keepdims=True)
         d_re = lam + c_re
         d_im = c_im
         den = d_re * d_re + d_im * d_im
@@ -285,19 +301,17 @@ def _kernel_batch(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref,
                  - a_im[:, :, None] * b_im[:, None, :])  # (BM, T, T)
         ab_im = (a_re[:, :, None] * b_im[:, None, :]
                  + a_im[:, :, None] * b_re[:, None, :])
-        sub_re = ab_re * inv_re[:, None, None] - ab_im * inv_im[:, None, None]
-        sub_im = ab_re * inv_im[:, None, None] + ab_im * inv_re[:, None, None]
+        sub_re = ab_re * inv_re[:, :, None] - ab_im * inv_im[:, :, None]
+        sub_im = ab_re * inv_im[:, :, None] + ab_im * inv_re[:, :, None]
         new_sr = (sr - sub_re) / lam
         new_si = (si - sub_im) / lam
         y_re = jnp.sum(new_sr * xr + new_si * xi, axis=2)  # (BM, T)
         y_im = jnp.sum(new_si * xr - new_sr * xi, axis=2)
         # H[o, b*M+m, t] += err[o, b] * Y[b*M+m, t]: broadcast err over m
-        ef_re = jnp.broadcast_to(
-            e_re[:, :, None], (n_modes, n_batch, n_modes)).reshape(
-            n_modes, BM)
-        ef_im = jnp.broadcast_to(
-            e_im[:, :, None], (n_modes, n_batch, n_modes)).reshape(
-            n_modes, BM)
+        ef_re = jnp.dot(e_re, selT, preferred_element_type=jnp.float32,
+                        precision="highest")
+        ef_im = jnp.dot(e_im, selT, preferred_element_type=jnp.float32,
+                        precision="highest")
         upd_re = ef_re[:, :, None] * y_re[None] - ef_im[:, :, None] * y_im[None]
         upd_im = ef_re[:, :, None] * y_im[None] + ef_im[:, :, None] * y_re[None]
 
@@ -475,9 +489,29 @@ def mimo_rls_pallas(sig, symb_ref, const, alg="rls", n_taps=15, sps=2,
     Returns (y (nSym, modes) complex, H (modes, modes, taps),
     Sd (modes, taps, taps) — the final inverse-correlation state, so a
     follow-on stage can warm-start).
+
+    On-device path: delegates to the batched kernel with B=1 whenever the
+    rule allows it (alg='rls', or square-QAM dd-rls) — the legacy
+    single-signal kernel's 1-D per-mode intermediates crash Mosaic's
+    layout inference on v5e ("Check failed: arr.size() >=
+    layout_rank"); the batched kernel keeps everything >= 2-D. The
+    legacy kernel remains only for non-square dd-rls constellations
+    (argmin slicer), which currently requires interpret mode.
     """
+    const_arr = np.asarray(const).astype(np.complex64)
+    if alg == "rls" or _square_qam_levels(
+            const_arr.real, const_arr.imag) is not None:
+        sig_b = jnp.asarray(sig)[None]
+        ref_b = None if symb_ref is None else jnp.asarray(symb_ref)[None]
+        h0_b = None if H0 is None else np.asarray(H0)[None]
+        sd0_b = None if Sd0 is None else np.asarray(Sd0)[None]
+        y, H, Sd = mimo_rls_pallas_batch(
+            sig_b, ref_b, const_arr, alg=alg, n_taps=n_taps, sps=sps,
+            lam=lam, block=min(block, 256), H0=h0_b, Sd0=sd0_b,
+            interpret=interpret)
+        return y[0], H[0], Sd[0]
     sig_re, sig_im = split_ri(sig)
-    const = np.asarray(const).astype(np.complex64)
+    const = const_arr
     n_modes = sig_re.shape[1]
     if symb_ref is None:
         if alg == "rls":
