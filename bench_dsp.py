@@ -205,18 +205,24 @@ def bench_rls(batch=8, n_sym=16384, n_taps=15, sps=2):
     symb = (rng.normal(size=(batch, n_sym, 2))
             + 1j * rng.normal(size=(batch, n_sym, 2))).astype(np.complex64)
 
-    def run_single(s, r):
-        y, H, Sd = mimo_rls_pallas(s, r, const, alg="rls", n_taps=n_taps,
-                                   sps=sps)
+    def run_single(sr, si, rr, ri):
+        y, H, Sd = mimo_rls_pallas(sr + 1j * si, rr + 1j * ri, const,
+                                   alg="rls", n_taps=n_taps, sps=sps)
         return jnp.mean(jnp.abs(y)) + jnp.mean(jnp.abs(H))
 
-    def run_batch(s, r):
-        y, H, Sd = mimo_rls_pallas_batch(s, r, const, alg="rls",
-                                         n_taps=n_taps, sps=sps)
+    def run_batch(sr, si, rr, ri):
+        y, H, Sd = mimo_rls_pallas_batch(sr + 1j * si, rr + 1j * ri, const,
+                                         alg="rls", n_taps=n_taps, sps=sps)
         return jnp.mean(jnp.abs(y)) + jnp.mean(jnp.abs(H))
 
-    t_s = time_fn(run_single, jnp.asarray(sig[0]), jnp.asarray(symb[0]))
-    t_b = time_fn(run_batch, jnp.asarray(sig), jnp.asarray(symb))
+    # f32 re/im pairs at the host boundary (complex transfers are
+    # UNIMPLEMENTED on the TPU tunnel); combined inside the jit
+    a1 = [jnp.asarray(x) for x in (sig[0].real, sig[0].imag,
+                                   symb[0].real, symb[0].imag)]
+    ab = [jnp.asarray(x) for x in (sig.real, sig.imag,
+                                   symb.real, symb.imag)]
+    t_s = time_fn(run_single, *a1)
+    t_b = time_fn(run_batch, *ab)
     print(json.dumps({
         "metric": f"RLS 2x2 equalizer Pallas kernel ({n_taps} taps)",
         "single_Msym_per_s": round(n_sym / t_s / 1e6, 3),
@@ -225,9 +231,10 @@ def bench_rls(batch=8, n_sym=16384, n_taps=15, sps=2):
     }))
 
 
-def bench_volterra(n_sym=16384, sps=2):
-    """3rd-order Volterra equalizer scan throughput (VERDICT r2 item 8)."""
+def bench_volterra(n_sym=16384, sps=2, batch=8):
+    """3rd-order Volterra equalizer: XLA scan vs Pallas VMEM kernel."""
     from opticommpy_tpu.dsp.equalization import VolterraConfig, volterra
+    from opticommpy_tpu.kernels.volterra_pallas import volterra_pallas
 
     rng = np.random.default_rng(4)
     sym = (2 * rng.integers(0, 4, size=n_sym) - 3).astype(np.float32)
@@ -240,10 +247,23 @@ def bench_volterra(n_sym=16384, sps=2):
         y, hs, mse = volterra(s, r, cfg)
         return jnp.mean(jnp.abs(y)) + jnp.mean(mse)
 
+    def run_pl(s, r):
+        y, hs, mse = volterra_pallas(s, r, cfg)
+        return jnp.mean(jnp.abs(y)) + jnp.mean(mse)
+
     t = time_fn(run, jnp.asarray(sig), jnp.asarray(sym))
+    t_pl = time_fn(run_pl, jnp.asarray(sig), jnp.asarray(sym))
+    sig_b = jnp.asarray(np.stack(
+        [sig + 0.02 * rng.normal(size=sig.shape) for _ in range(batch)]
+    ).astype(np.float32))
+    sym_b = jnp.broadcast_to(jnp.asarray(sym), (batch, n_sym))
+    t_pb = time_fn(run_pl, sig_b, sym_b)
     print(json.dumps({
-        "metric": "Volterra equalizer (order 3, 13/7/5 taps, PAM4 scan)",
-        "Msym_per_s": round(n_sym / t / 1e6, 3),
+        "metric": "Volterra equalizer (order 3, 13/7/5 taps, PAM4)",
+        "scan_Msym_per_s": round(n_sym / t / 1e6, 3),
+        "pallas_Msym_per_s": round(n_sym / t_pl / 1e6, 3),
+        f"pallas_batch{batch}_Msym_per_s": round(
+            batch * n_sym / t_pb / 1e6, 3),
         "n_symbols": n_sym,
     }))
 
