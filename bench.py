@@ -379,6 +379,11 @@ def main():
         fec_mbps = round(run_fec_decode(), 1)
     except Exception:
         pass
+    fec_mbps_512 = None
+    try:
+        fec_mbps_512 = round(run_fec_decode(batch=512), 1)
+    except Exception:
+        pass
     fft_pair = fft_frac = None
     try:
         fft_pair, fft_frac = run_fft_roofline()
@@ -398,6 +403,8 @@ def main():
         result["dsp_chain_Msym_per_s_batch8"] = chain
     if fec_mbps is not None:
         result["dvbs2_decode_Mbit_per_s_b128"] = fec_mbps
+    if fec_mbps_512 is not None:
+        result["dvbs2_decode_Mbit_per_s_b512"] = fec_mbps_512
     if fft_pair is not None:
         result["fft_pair_us"] = round(fft_pair * 1e6, 1)
     if fft_frac is not None:
