@@ -501,8 +501,15 @@ def mimo_rls_pallas(sig, symb_ref, const, alg="rls", n_taps=15, sps=2,
     const_arr = np.asarray(const).astype(np.complex64)
     if alg == "rls" or _square_qam_levels(
             const_arr.real, const_arr.imag) is not None:
-        sig_b = jnp.asarray(sig)[None]
-        ref_b = None if symb_ref is None else jnp.asarray(symb_ref)[None]
+        # no jnp.asarray here: complex host->device transfers are
+        # UNIMPLEMENTED on the TPU tunnel; split_ri in the batch wrapper
+        # handles numpy (host split) and device arrays (jitted split)
+        if not hasattr(sig, "ndim"):
+            sig = np.asarray(sig)
+        sig_b = sig[None]
+        if symb_ref is not None and not hasattr(symb_ref, "ndim"):
+            symb_ref = np.asarray(symb_ref)
+        ref_b = None if symb_ref is None else symb_ref[None]
         h0_b = None if H0 is None else np.asarray(H0)[None]
         sd0_b = None if Sd0 is None else np.asarray(Sd0)[None]
         y, H, Sd = mimo_rls_pallas_batch(
