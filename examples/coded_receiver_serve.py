@@ -16,8 +16,8 @@ symbols -> 64 DVB-S2 64800b R4/5 codewords, all error-free, in one
 55 ms dispatch: 9.5 Msym/s (60 Mbit/s information) for the COMPLETE
 receiver including 20 NMSA BP iterations (fused QC decoder). Per-stage
 device profile: front end ~12 ms, LLR ~1 ms, decode ~15 ms. Pulling the
-(64800, 64) decoded-bit matrix to the host costs a further ~110 ms of
-tunnel transfer — the production pattern keeps decisions on device (or
+(64800, 64) decoded-bit matrix to the host costs further tunnel-transfer
+time (measured 0.1-15 s depending on tunnel state) — the production pattern keeps decisions on device (or
 transfers packed bits); both timings are printed.
 
 Usage: python examples/coded_receiver_serve.py [--cpu]
