@@ -75,4 +75,17 @@ def test_enable_persistent_cache(tmp_path, monkeypatch):
         jax.jit(lambda x: jnp.sin(x) * 2)(jnp.ones(512)).block_until_ready()
         assert len(os.listdir(p)) >= 1
     finally:
+        # FULL teardown: resetting only the dir leaves the initialized
+        # cache object live with min_compile_time=0 — every later big
+        # compile in the suite then cache-writes into the deleted
+        # tmp_path and jax's put_executable_and_time SEGFAULTS the run
+        # (observed at test_fec's early-exit while_loop compile)
         jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+        try:
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
+        except Exception:
+            pass
