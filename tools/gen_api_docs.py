@@ -55,6 +55,8 @@ MODULES = [
     "opticommpy_tpu.kernels.gardner_pallas",
     "opticommpy_tpu.kernels.ldpc_pallas",
     "opticommpy_tpu.kernels.qc_pallas",
+    "opticommpy_tpu.kernels.qc_mega",
+    "opticommpy_tpu.kernels.volterra_pallas",
     "opticommpy_tpu.native",
     "opticommpy_tpu.utils.units",
     "opticommpy_tpu.utils.bits",
