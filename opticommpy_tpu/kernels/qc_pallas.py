@@ -125,49 +125,76 @@ def _check_body(pos_ref, sh_ref, *refs, S, q, alpha, mdt):
 
     i = pl.program_id(1)
     bt = m_ref.shape[-1]
-    inf = jnp.full((Z, bt), jnp.inf, jnp.float32)
-    m1_ref[...] = inf
-    m2_ref[...] = inf
-    parx_ref[...] = jnp.zeros((Z, bt), jnp.int32)
-    partot_ref[...] = jnp.zeros((Z, bt), jnp.int32)
     row0 = jax.lax.broadcasted_iota(jnp.int32, (Z, bt), 0) == 0
 
-    def accum(sl, x32, tot_neg):
-        # two smallest |x| over slots; x-sign parity; tot-sign parity
-        mag = jnp.abs(x32)
-        m2_ref[...] = jnp.minimum(m2_ref[...], jnp.maximum(m1_ref[...], mag))
-        m1_ref[...] = jnp.minimum(m1_ref[...], mag)
-        parx_ref[...] = parx_ref[...] ^ (x32 < 0).astype(jnp.int32)
-        partot_ref[...] = partot_ref[...] ^ tot_neg.astype(jnp.int32)
-        x_scr[sl] = x32.astype(mdt)
-
-    for sl in range(S):
-        # cast BEFORE the roll: Mosaic's dynamic rotate is 32-bit only
-        # ("Rotate with non-32-bit data"); bf16 -> f32 is lossless
-        tot32 = pltpu.roll(
-            t_refs[sl][0].astype(jnp.float32), sh_ref[sl, i], axis=0)
+    def slot_x(sl):
+        """(x32, tot_neg) for slot sl (rolled totals minus messages)."""
+        if sl < S:
+            # cast BEFORE the roll: Mosaic's dynamic rotate is 32-bit
+            # only ("Rotate with non-32-bit data"); bf16->f32 is lossless
+            tot32 = pltpu.roll(
+                t_refs[sl][0].astype(jnp.float32), sh_ref[sl, i], axis=0)
+            mask0 = None
+        elif sl == S:  # accumulator self edge p_j -> c_j
+            tot32 = tp_ref[0].astype(jnp.float32)
+            mask0 = None
+        else:  # staircase p_{j-1} -> c_j; check 0 has no p_{-1}
+            first = i == 0
+            tot32 = pltpu.roll(
+                tpm1_ref[0].astype(jnp.float32),
+                jnp.where(first, 1, 0), axis=0)
+            mask0 = row0 & first
         x32 = tot32 - m_ref[sl, 0].astype(jnp.float32)
         if mdt == jnp.bfloat16:
             x32 = x32.astype(mdt).astype(jnp.float32)
-        accum(sl, x32, tot32 < 0)
+        tot_neg = tot32 < 0
+        if mask0 is not None:
+            x32 = jnp.where(mask0, jnp.inf, x32)
+            tot_neg = tot_neg & ~mask0
+        return x32, tot_neg
 
-    # slot S: accumulator self edge p_j -> c_j
-    tot32 = tp_ref[0].astype(jnp.float32)
-    x32 = tot32 - m_ref[S, 0].astype(jnp.float32)
-    if mdt == jnp.bfloat16:
-        x32 = x32.astype(mdt).astype(jnp.float32)
-    accum(S, x32, tot32 < 0)
+    # pass 1: two smallest |x|, sign parities. Four INDEPENDENT two-min
+    # chains merged by a tree — the naive single chain serializes every
+    # slot behind a 3-op dependency and starves the VPU of ILP.
+    NCH = 4
+    c_m1 = [None] * NCH
+    c_m2 = [None] * NCH
+    c_px = [None] * NCH
+    c_pt = [None] * NCH
+    for sl in range(D):
+        x32, tot_neg = slot_x(sl)
+        x_scr[sl] = x32.astype(mdt)
+        mag = jnp.abs(x32)
+        sx = (x32 < 0).astype(jnp.int32)
+        st = tot_neg.astype(jnp.int32)
+        c = sl % NCH
+        if c_m1[c] is None:
+            c_m1[c], c_m2[c] = mag, jnp.full((Z, bt), jnp.inf, jnp.float32)
+            c_px[c], c_pt[c] = sx, st
+        else:
+            c_m2[c] = jnp.minimum(c_m2[c], jnp.maximum(c_m1[c], mag))
+            c_m1[c] = jnp.minimum(c_m1[c], mag)
+            c_px[c] = c_px[c] ^ sx
+            c_pt[c] = c_pt[c] ^ st
 
-    # slot S+1: staircase edge p_{j-1} -> c_j; check 0 has no p_{-1}
-    first = i == 0
-    tot32 = pltpu.roll(
-        tpm1_ref[0].astype(jnp.float32), jnp.where(first, 1, 0), axis=0)
-    x32 = tot32 - m_ref[S + 1, 0].astype(jnp.float32)
-    if mdt == jnp.bfloat16:
-        x32 = x32.astype(mdt).astype(jnp.float32)
-    mask0 = row0 & first
-    x32 = jnp.where(mask0, jnp.inf, x32)
-    accum(S + 1, x32, (tot32 < 0) & ~mask0)
+    for c in range(NCH):  # neutral fill (D = S+2 >= 4 for all DVB-S2)
+        if c_m1[c] is None:
+            c_m1[c] = jnp.full((Z, bt), jnp.inf, jnp.float32)
+            c_m2[c] = jnp.full((Z, bt), jnp.inf, jnp.float32)
+            c_px[c] = jnp.zeros((Z, bt), jnp.int32)
+            c_pt[c] = jnp.zeros((Z, bt), jnp.int32)
+
+    def merge2(a1, a2, b1, b2):
+        return (jnp.minimum(a1, b1),
+                jnp.minimum(jnp.minimum(a2, b2), jnp.maximum(a1, b1)))
+
+    u1, u2 = merge2(c_m1[0], c_m2[0], c_m1[1], c_m2[1])
+    v1, v2 = merge2(c_m1[2], c_m2[2], c_m1[3], c_m2[3])
+    w1, w2 = merge2(u1, u2, v1, v2)
+    m1_ref[...] = w1
+    m2_ref[...] = w2
+    parx_ref[...] = (c_px[0] ^ c_px[1]) ^ (c_px[2] ^ c_px[3])
+    partot_ref[...] = (c_pt[0] ^ c_pt[1]) ^ (c_pt[2] ^ c_pt[3])
 
     # per-column parity vote, AND-accumulated across columns (sequential
     # grid; the (8, bt) block is revisited for every a0 at fixed chunk b)
