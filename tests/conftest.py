@@ -23,3 +23,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The full suite compiles hundreds of programs in one process; with
+    round 3's added large-FEC tests, XLA:CPU's LLVM backend started
+    SEGFAULTING on a later big compile (deterministically at the
+    early-exit while_loop decode) — an upstream compiler bug triggered by
+    accumulated in-process state, reproduced with the native C++ loaders
+    disabled and with the persistent compilation cache fully reset.
+    Releasing executables at module boundaries keeps the process state
+    small; the handful of cross-module recompiles cost far less than the
+    risk."""
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -273,239 +273,6 @@ def test_qc_decoder_matches_bucketed():
     assert float(jnp.max(jnp.abs(out_b - out_q))) / scale < 1e-5
 
 
-@pytest.mark.slow
-def test_qc_fused_matches_xla_path():
-    """The fully-fused Pallas QC decoder (kernels/qc_pallas.py, interpret
-    mode on CPU) reproduces the XLA roll decoder: same hard decisions,
-    iteration counts and failure flags; totals equal to f32 sum-order
-    tolerance. Covers both message dtypes and a second rate so both the
-    low-S and high-S check-kernel shapes run."""
-    import jax.numpy as jnp
-
-    from opticommpy_tpu.comm import fec_qc
-
-    rng = np.random.default_rng(3)
-    for R, mdt, B in (("9/10", "f32", 4), ("9/10", "bf16", 4),
-                      ("1/4", "f32", 4)):
-        llrs = jnp.asarray(
-            (1.2 + rng.normal(scale=1.6, size=(64800, B))).astype(
-                np.float32))
-        ref = fec_qc.make_qc_decoder(64800, R, 3, "MSA", mdt, backend="xla")
-        fus = fec_qc.make_qc_decoder(64800, R, 3, "MSA", mdt,
-                                     backend="fused")
-        o1, i1, f1 = ref(llrs)
-        o2, i2, f2 = fus(llrs)
-        o1 = np.asarray(o1, np.float32)
-        o2 = np.asarray(o2, np.float32)
-        assert np.array_equal(np.asarray(i1), np.asarray(i2)), R
-        assert np.array_equal(np.asarray(f1), np.asarray(f2)), R
-        assert not (np.signbit(o1) != np.signbit(o2)).any(), R
-        assert np.abs(o1 - o2).max() / np.abs(o1).max() < 1e-5, (R, mdt)
-
-
-@pytest.mark.slow
-def test_qc_megakernel_matches_xla_path():
-    """The resident-totals megakernel (kernels/qc_mega.py, whole decode in
-    one Pallas program) reproduces the XLA roll decoder: same decisions,
-    iteration counts and failure flags; totals to f32 sum-order tolerance.
-    Also checked: building the decoder INSIDE an outer jit trace (the
-    coded-receiver composition) neither fails nor leaks tracers through
-    the lru_cache."""
-    import jax
-    import jax.numpy as jnp
-
-    from opticommpy_tpu.comm import fec_qc
-
-    rng = np.random.default_rng(13)
-    llrs = jnp.asarray(
-        (1.2 + rng.normal(scale=1.6, size=(64800, 8))).astype(np.float32))
-    for mdt in ("bf16", "f32"):
-        ref = fec_qc.make_qc_decoder(64800, "4/5", 3, "MSA", mdt,
-                                     backend="xla")
-        meg = fec_qc.make_qc_decoder(64800, "4/5", 3, "MSA", mdt,
-                                     backend="mega")
-        o1, i1, f1 = ref(llrs)
-        o2, i2, f2 = meg(llrs)
-        o1 = np.asarray(o1, np.float32)
-        o2 = np.asarray(o2, np.float32)
-        assert np.array_equal(np.asarray(i1), np.asarray(i2)), mdt
-        assert np.array_equal(np.asarray(f1), np.asarray(f2)), mdt
-        assert not (np.signbit(o1) != np.signbit(o2)).any(), mdt
-        assert np.abs(o1 - o2).max() / np.abs(o1).max() < 1e-5, mdt
-
-    # nested-in-jit construction + reuse of the cached decoder standalone
-    @jax.jit
-    def outer(llr):
-        dec = fec_qc.make_qc_decoder(64800, "4/5", 2, "NMSA", "bf16",
-                                     backend="fused")
-        return jnp.mean(dec(llr)[0])
-
-    a = float(outer(llrs))
-    dec = fec_qc.make_qc_decoder(64800, "4/5", 2, "NMSA", "bf16",
-                                 backend="fused")
-    b = float(jnp.mean(dec(llrs)[0]))
-    assert abs(a - b) < 1e-5 * max(1.0, abs(a))
-
-
-@pytest.mark.slow
-def test_qc_fused_corrects_errors_and_early_exit():
-    """Fused decoder end-to-end: corrects AWGN errors on a real DVB-S2
-    codeword batch (odd batch exercises the pad-to-8 path) and the
-    early-exit while_loop returns identical outputs to the scan."""
-    import jax.numpy as jnp
-
-    from opticommpy_tpu.comm import fec_qc
-    from opticommpy_tpu.comm.fec import standard_ldpc
-
-    _, edges = standard_ldpc(mode="DVBS2", n=64800, R="4/5")
-    k = 64800 - 12960
-    rng = np.random.default_rng(5)
-    bits = rng.integers(0, 2, size=(k, 3)).astype(np.int8)
-    cw = np.asarray(encode_ldpc(jnp.asarray(bits), edges=edges))
-    sigma = np.sqrt(0.5 * 10 ** (-3.6 / 10))
-    y = (1 - 2.0 * cw) + sigma * rng.normal(size=cw.shape)
-    llr = jnp.asarray((2 * y / sigma**2).astype(np.float32))
-    dec = fec_qc.make_qc_decoder(64800, "4/5", 20, "NMSA", "bf16",
-                                 backend="fused")
-    out, iters, fail = dec(llr)
-    assert not np.asarray(fail).any()
-    decoded = (np.asarray(out, np.float32) < 0).astype(np.int8)
-    assert np.array_equal(decoded, cw)
-    assert (np.asarray(iters) < 20).all()
-    dec_ee = fec_qc.make_qc_decoder(64800, "4/5", 20, "NMSA", "bf16",
-                                    backend="fused", early_exit=True)
-    out2, iters2, fail2 = dec_ee(llr)
-    assert np.array_equal(np.asarray(out, np.float32),
-                          np.asarray(out2, np.float32))
-    assert np.array_equal(np.asarray(iters), np.asarray(iters2))
-    assert np.array_equal(np.asarray(fail), np.asarray(fail2))
-
-
-@pytest.mark.slow
-def test_dvbs2_fer_waterfall_pinned():
-    """Coded-performance regression: the DVB-S2 R4/5 64800b FER waterfall
-    (NMSA-20, bf16 messages, BPSK/AWGN) is pinned at three Es/N0 points.
-
-    Measured with this exact seed (2026-08, 192 codewords/point):
-    FER(1.7 dB) = 0.995, FER(1.9 dB) = 0.073, FER(2.1 dB) = 0.000.
-    The slope is ~1 decade / 0.1 dB here, so a 0.2 dB decoder regression
-    (e.g. in the bf16 message path or the QC staircase masking) pushes the
-    1.9 dB point to FER ~1 and fails the bounds; a silent *improvement*
-    (changed algorithm) trips the 1.7 dB lower bound and must be re-pinned
-    deliberately. Curve position cross-check: the DVB-S2 standard's ideal
-    QPSK R4/5 threshold is Es/N0 = 4.68 dB (EN 302 307-1 Table 13), i.e.
-    1.67 dB per-dimension — our 50%-FER point of ~1.8 dB is the expected
-    ~0.15 dB off ideal for 20-iteration normalized min-sum without the
-    outer BCH. (The reference package's own decoder is waterfall-validated
-    the same way in examples/test_fec.ipynb; its numba kernels are not
-    installable here, reference optic/comm/fec.py:684.)
-    """
-    from opticommpy_tpu.comm import fec_qc
-    from opticommpy_tpu.comm.fec import standard_ldpc
-
-    n, R, k = 64800, "4/5", 51840
-    _, edges = standard_ldpc("DVBS2", n, R)
-    dec = fec_qc.make_qc_decoder(n, R, 20, "NMSA", "bf16", early_exit=True,
-                                 backend="xla")
-    rng = np.random.default_rng(42)
-    B, n_chunks = 64, 3
-
-    def fer_at(snr_db):
-        sigma = np.sqrt(0.5 * 10 ** (-snr_db / 10))
-        fails = 0
-        for _ in range(n_chunks):
-            bits = rng.integers(0, 2, size=(k, B)).astype(np.int8)
-            cw = np.asarray(encode_ldpc(jnp.asarray(bits), edges=edges))
-            y = (1 - 2.0 * cw) + sigma * rng.normal(size=cw.shape)
-            llr = jnp.asarray((2 * y / sigma**2).astype(np.float32))
-            out, _, _ = dec(llr)
-            decoded = (np.asarray(out, np.float32) < 0).astype(np.int8)
-            fails += int((decoded != cw).any(axis=0).sum())
-        return fails / (B * n_chunks)
-
-    # NOTE: fer_at consumes rng state sequentially — keep the point order
-    # (1.7, 1.9, 2.1) or the pinned values move.
-    f17 = fer_at(1.7)
-    f19 = fer_at(1.9)
-    f21 = fer_at(2.1)
-    assert f17 >= 0.9, f"FER(1.7 dB) = {f17}: curve moved left (re-pin?)"
-    assert 0.01 <= f19 <= 0.3, f"FER(1.9 dB) = {f19}: waterfall shifted"
-    assert f21 <= 0.02, f"FER(2.1 dB) = {f21}: error floor appeared"
-
-
-def test_lift_decoder_matches_bucketed():
-    """The lifted-circulant roll decoder (fec_lift.py) reproduces the
-    degree-bucketed gather decoder on 802.11n and AR4JA: identical totals,
-    iteration counts and failure flags."""
-    import jax.numpy as jnp
-
-    from opticommpy_tpu.comm import fec_lift
-    from opticommpy_tpu.comm.fec import _bp_decode_bucketed_batch, standard_ldpc
-
-    rng = np.random.default_rng(2)
-    for mode, n, R in (("IEEE_802.11nD2", 1944, "1/2"),
-                       ("AR4JA", 2048, "1/2"),
-                       ("IEEE_802.11nD2", 648, "5/6")):
-        graph, _ = standard_ldpc(mode, n, R)
-        llrs = jnp.asarray(
-            (1.0 + rng.normal(scale=1.5, size=(graph["n"], 4))).astype(
-                np.float32))
-        bk = graph["bk"]
-        out_b, it_b, fail_b = _bp_decode_bucketed_batch(
-            llrs,
-            tuple(jnp.asarray(a) for a in bk["cn_var"]),
-            tuple(jnp.asarray(a) for a in bk["vn_edge"]),
-            tuple(jnp.asarray(a) for a in bk["vn_var"]),
-            jnp.asarray(bk["var_pos"]), 5, "MSA", jnp.float32)
-        dec = fec_lift.make_lift_decoder(mode, n, R, 5, "MSA", "f32")
-        out_l, it_l, fail_l = dec(llrs)
-        assert np.array_equal(np.asarray(it_b), np.asarray(it_l)), (mode, n)
-        assert np.array_equal(np.asarray(fail_b), np.asarray(fail_l))
-        scale = float(jnp.max(jnp.abs(out_b)))
-        assert float(jnp.max(jnp.abs(out_b - out_l))) / scale < 1e-5
-
-
-def test_lift_decoder_corrects_errors_and_early_exit():
-    """decode_ldpc routes 802.11n/AR4JA through the lift decoder: corrects
-    AWGN errors on real codewords (AR4JA punctured-tail handling included)
-    and earlyExit returns identical outputs."""
-    import jax.numpy as jnp
-
-    from opticommpy_tpu.comm.fec import standard_ldpc
-
-    graph, edges = standard_ldpc("IEEE_802.11nD2", 1296, "1/2")
-    H = np.zeros((graph["m"], graph["n"]), np.uint8)
-    H[edges[2], edges[3]] = 1
-    G, _, Hs = par2gen(H)
-    k = G.shape[0]
-    rng = np.random.default_rng(9)
-    bits = rng.integers(0, 2, size=(k, 4)).astype(np.int8)
-    cw = np.asarray(encode_ldpc(jnp.asarray(bits), H=Hs,
-                                config=LDPCConfig(mode="G"), G=jnp.asarray(G)))
-    # NOTE: par2gen column-permutes H; decode against the permuted graph
-    from opticommpy_tpu.comm.fec import ldpc_graph
-    gperm = ldpc_graph(Hs)
-    sigma = np.sqrt(0.5 * 10 ** (-2.0 / 10))
-    y = (1 - 2.0 * cw) + sigma * rng.normal(size=cw.shape)
-    llr = jnp.asarray((2 * y / sigma**2).astype(np.float32))
-    a = decode_ldpc(llr, graph=gperm, config=LDPCConfig(maxIter=20,
-                                                        alg="MSA"))
-    assert np.array_equal(np.asarray(a[0]), cw)
-
-    # routed lift path on the standard graph with earlyExit
-    cw2 = np.zeros((graph["n"], 3), np.int8)  # all-zeros codeword
-    y2 = (1 - 2.0 * cw2) + sigma * rng.normal(size=cw2.shape)
-    llr2 = jnp.asarray((2 * y2 / sigma**2).astype(np.float32))
-    b1 = decode_ldpc(llr2, graph=graph, config=LDPCConfig(maxIter=20,
-                                                          alg="NMSA"))
-    b2 = decode_ldpc(llr2, graph=graph,
-                     config=LDPCConfig(maxIter=20, alg="NMSA",
-                                       earlyExit=True))
-    assert np.array_equal(np.asarray(b1[0]), cw2)
-    for u, v in zip(b1, b2):
-        assert np.array_equal(np.asarray(u), np.asarray(v))
-
-
 def test_qc_early_exit_identical_outputs():
     """earlyExit=True (while_loop, stops when the whole batch converged)
     returns bit-identical results to the fixed-trip scan path."""
@@ -660,3 +427,231 @@ def test_qc_tables_cover_all_dvbs2_rates():
                      np.concatenate(qc_cols).tolist()))
         ref = set(zip(np.asarray(rows).tolist(), np.asarray(cols).tolist()))
         assert qc == ref, f"rate {R}: QC edge set mismatch"
+
+
+@pytest.mark.slow
+def test_qc_fused_matches_xla_path():
+    """The fully-fused Pallas QC decoder (kernels/qc_pallas.py, interpret
+    mode on CPU) reproduces the XLA roll decoder: same hard decisions,
+    iteration counts and failure flags; totals equal to f32 sum-order
+    tolerance. Covers both message dtypes and a second rate so both the
+    low-S and high-S check-kernel shapes run."""
+    import jax.numpy as jnp
+
+    from opticommpy_tpu.comm import fec_qc
+
+    rng = np.random.default_rng(3)
+    for R, mdt, B in (("9/10", "f32", 4), ("9/10", "bf16", 4),
+                      ("1/4", "f32", 4)):
+        llrs = jnp.asarray(
+            (1.2 + rng.normal(scale=1.6, size=(64800, B))).astype(
+                np.float32))
+        ref = fec_qc.make_qc_decoder(64800, R, 3, "MSA", mdt, backend="xla")
+        fus = fec_qc.make_qc_decoder(64800, R, 3, "MSA", mdt,
+                                     backend="fused")
+        o1, i1, f1 = ref(llrs)
+        o2, i2, f2 = fus(llrs)
+        o1 = np.asarray(o1, np.float32)
+        o2 = np.asarray(o2, np.float32)
+        assert np.array_equal(np.asarray(i1), np.asarray(i2)), R
+        assert np.array_equal(np.asarray(f1), np.asarray(f2)), R
+        assert not (np.signbit(o1) != np.signbit(o2)).any(), R
+        assert np.abs(o1 - o2).max() / np.abs(o1).max() < 1e-5, (R, mdt)
+
+@pytest.mark.slow
+def test_qc_megakernel_matches_xla_path():
+    """The resident-totals megakernel (kernels/qc_mega.py, whole decode in
+    one Pallas program) reproduces the XLA roll decoder: same decisions,
+    iteration counts and failure flags; totals to f32 sum-order tolerance.
+    Also checked: building the decoder INSIDE an outer jit trace (the
+    coded-receiver composition) neither fails nor leaks tracers through
+    the lru_cache."""
+    import jax
+    import jax.numpy as jnp
+
+    from opticommpy_tpu.comm import fec_qc
+
+    rng = np.random.default_rng(13)
+    llrs = jnp.asarray(
+        (1.2 + rng.normal(scale=1.6, size=(64800, 8))).astype(np.float32))
+    for mdt in ("bf16", "f32"):
+        ref = fec_qc.make_qc_decoder(64800, "4/5", 3, "MSA", mdt,
+                                     backend="xla")
+        meg = fec_qc.make_qc_decoder(64800, "4/5", 3, "MSA", mdt,
+                                     backend="mega")
+        o1, i1, f1 = ref(llrs)
+        o2, i2, f2 = meg(llrs)
+        o1 = np.asarray(o1, np.float32)
+        o2 = np.asarray(o2, np.float32)
+        assert np.array_equal(np.asarray(i1), np.asarray(i2)), mdt
+        assert np.array_equal(np.asarray(f1), np.asarray(f2)), mdt
+        assert not (np.signbit(o1) != np.signbit(o2)).any(), mdt
+        assert np.abs(o1 - o2).max() / np.abs(o1).max() < 1e-5, mdt
+
+    # nested-in-jit construction + reuse of the cached decoder standalone
+    @jax.jit
+    def outer(llr):
+        dec = fec_qc.make_qc_decoder(64800, "4/5", 2, "NMSA", "bf16",
+                                     backend="fused")
+        return jnp.mean(dec(llr)[0])
+
+    a = float(outer(llrs))
+    dec = fec_qc.make_qc_decoder(64800, "4/5", 2, "NMSA", "bf16",
+                                 backend="fused")
+    b = float(jnp.mean(dec(llrs)[0]))
+    assert abs(a - b) < 1e-5 * max(1.0, abs(a))
+
+@pytest.mark.slow
+def test_qc_fused_corrects_errors_and_early_exit():
+    """Fused decoder end-to-end: corrects AWGN errors on a real DVB-S2
+    codeword batch (odd batch exercises the pad-to-8 path) and the
+    early-exit while_loop returns identical outputs to the scan."""
+    import jax.numpy as jnp
+
+    from opticommpy_tpu.comm import fec_qc
+    from opticommpy_tpu.comm.fec import standard_ldpc
+
+    _, edges = standard_ldpc(mode="DVBS2", n=64800, R="4/5")
+    k = 64800 - 12960
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 2, size=(k, 3)).astype(np.int8)
+    cw = np.asarray(encode_ldpc(jnp.asarray(bits), edges=edges))
+    sigma = np.sqrt(0.5 * 10 ** (-3.6 / 10))
+    y = (1 - 2.0 * cw) + sigma * rng.normal(size=cw.shape)
+    llr = jnp.asarray((2 * y / sigma**2).astype(np.float32))
+    dec = fec_qc.make_qc_decoder(64800, "4/5", 20, "NMSA", "bf16",
+                                 backend="fused")
+    out, iters, fail = dec(llr)
+    assert not np.asarray(fail).any()
+    decoded = (np.asarray(out, np.float32) < 0).astype(np.int8)
+    assert np.array_equal(decoded, cw)
+    assert (np.asarray(iters) < 20).all()
+    dec_ee = fec_qc.make_qc_decoder(64800, "4/5", 20, "NMSA", "bf16",
+                                    backend="fused", early_exit=True)
+    out2, iters2, fail2 = dec_ee(llr)
+    assert np.array_equal(np.asarray(out, np.float32),
+                          np.asarray(out2, np.float32))
+    assert np.array_equal(np.asarray(iters), np.asarray(iters2))
+    assert np.array_equal(np.asarray(fail), np.asarray(fail2))
+
+@pytest.mark.slow
+def test_dvbs2_fer_waterfall_pinned():
+    """Coded-performance regression: the DVB-S2 R4/5 64800b FER waterfall
+    (NMSA-20, bf16 messages, BPSK/AWGN) is pinned at three Es/N0 points.
+
+    Measured with this exact seed (2026-08, 192 codewords/point):
+    FER(1.7 dB) = 0.995, FER(1.9 dB) = 0.073, FER(2.1 dB) = 0.000.
+    The slope is ~1 decade / 0.1 dB here, so a 0.2 dB decoder regression
+    (e.g. in the bf16 message path or the QC staircase masking) pushes the
+    1.9 dB point to FER ~1 and fails the bounds; a silent *improvement*
+    (changed algorithm) trips the 1.7 dB lower bound and must be re-pinned
+    deliberately. Curve position cross-check: the DVB-S2 standard's ideal
+    QPSK R4/5 threshold is Es/N0 = 4.68 dB (EN 302 307-1 Table 13), i.e.
+    1.67 dB per-dimension — our 50%-FER point of ~1.8 dB is the expected
+    ~0.15 dB off ideal for 20-iteration normalized min-sum without the
+    outer BCH. (The reference package's own decoder is waterfall-validated
+    the same way in examples/test_fec.ipynb; its numba kernels are not
+    installable here, reference optic/comm/fec.py:684.)
+    """
+    from opticommpy_tpu.comm import fec_qc
+    from opticommpy_tpu.comm.fec import standard_ldpc
+
+    n, R, k = 64800, "4/5", 51840
+    _, edges = standard_ldpc("DVBS2", n, R)
+    dec = fec_qc.make_qc_decoder(n, R, 20, "NMSA", "bf16", early_exit=True,
+                                 backend="xla")
+    rng = np.random.default_rng(42)
+    B, n_chunks = 64, 3
+
+    def fer_at(snr_db):
+        sigma = np.sqrt(0.5 * 10 ** (-snr_db / 10))
+        fails = 0
+        for _ in range(n_chunks):
+            bits = rng.integers(0, 2, size=(k, B)).astype(np.int8)
+            cw = np.asarray(encode_ldpc(jnp.asarray(bits), edges=edges))
+            y = (1 - 2.0 * cw) + sigma * rng.normal(size=cw.shape)
+            llr = jnp.asarray((2 * y / sigma**2).astype(np.float32))
+            out, _, _ = dec(llr)
+            decoded = (np.asarray(out, np.float32) < 0).astype(np.int8)
+            fails += int((decoded != cw).any(axis=0).sum())
+        return fails / (B * n_chunks)
+
+    # NOTE: fer_at consumes rng state sequentially — keep the point order
+    # (1.7, 1.9, 2.1) or the pinned values move.
+    f17 = fer_at(1.7)
+    f19 = fer_at(1.9)
+    f21 = fer_at(2.1)
+    assert f17 >= 0.9, f"FER(1.7 dB) = {f17}: curve moved left (re-pin?)"
+    assert 0.01 <= f19 <= 0.3, f"FER(1.9 dB) = {f19}: waterfall shifted"
+    assert f21 <= 0.02, f"FER(2.1 dB) = {f21}: error floor appeared"
+
+def test_lift_decoder_matches_bucketed():
+    """The lifted-circulant roll decoder (fec_lift.py) reproduces the
+    degree-bucketed gather decoder on 802.11n and AR4JA: identical totals,
+    iteration counts and failure flags."""
+    import jax.numpy as jnp
+
+    from opticommpy_tpu.comm import fec_lift
+    from opticommpy_tpu.comm.fec import _bp_decode_bucketed_batch, standard_ldpc
+
+    rng = np.random.default_rng(2)
+    for mode, n, R in (("IEEE_802.11nD2", 1944, "1/2"),
+                       ("AR4JA", 2048, "1/2"),
+                       ("IEEE_802.11nD2", 648, "5/6")):
+        graph, _ = standard_ldpc(mode, n, R)
+        llrs = jnp.asarray(
+            (1.0 + rng.normal(scale=1.5, size=(graph["n"], 4))).astype(
+                np.float32))
+        bk = graph["bk"]
+        out_b, it_b, fail_b = _bp_decode_bucketed_batch(
+            llrs,
+            tuple(jnp.asarray(a) for a in bk["cn_var"]),
+            tuple(jnp.asarray(a) for a in bk["vn_edge"]),
+            tuple(jnp.asarray(a) for a in bk["vn_var"]),
+            jnp.asarray(bk["var_pos"]), 5, "MSA", jnp.float32)
+        dec = fec_lift.make_lift_decoder(mode, n, R, 5, "MSA", "f32")
+        out_l, it_l, fail_l = dec(llrs)
+        assert np.array_equal(np.asarray(it_b), np.asarray(it_l)), (mode, n)
+        assert np.array_equal(np.asarray(fail_b), np.asarray(fail_l))
+        scale = float(jnp.max(jnp.abs(out_b)))
+        assert float(jnp.max(jnp.abs(out_b - out_l))) / scale < 1e-5
+
+def test_lift_decoder_corrects_errors_and_early_exit():
+    """decode_ldpc routes 802.11n/AR4JA through the lift decoder: corrects
+    AWGN errors on real codewords (AR4JA punctured-tail handling included)
+    and earlyExit returns identical outputs."""
+    import jax.numpy as jnp
+
+    from opticommpy_tpu.comm.fec import standard_ldpc
+
+    graph, edges = standard_ldpc("IEEE_802.11nD2", 1296, "1/2")
+    H = np.zeros((graph["m"], graph["n"]), np.uint8)
+    H[edges[2], edges[3]] = 1
+    G, _, Hs = par2gen(H)
+    k = G.shape[0]
+    rng = np.random.default_rng(9)
+    bits = rng.integers(0, 2, size=(k, 4)).astype(np.int8)
+    cw = np.asarray(encode_ldpc(jnp.asarray(bits), H=Hs,
+                                config=LDPCConfig(mode="G"), G=jnp.asarray(G)))
+    # NOTE: par2gen column-permutes H; decode against the permuted graph
+    from opticommpy_tpu.comm.fec import ldpc_graph
+    gperm = ldpc_graph(Hs)
+    sigma = np.sqrt(0.5 * 10 ** (-2.0 / 10))
+    y = (1 - 2.0 * cw) + sigma * rng.normal(size=cw.shape)
+    llr = jnp.asarray((2 * y / sigma**2).astype(np.float32))
+    a = decode_ldpc(llr, graph=gperm, config=LDPCConfig(maxIter=20,
+                                                        alg="MSA"))
+    assert np.array_equal(np.asarray(a[0]), cw)
+
+    # routed lift path on the standard graph with earlyExit
+    cw2 = np.zeros((graph["n"], 3), np.int8)  # all-zeros codeword
+    y2 = (1 - 2.0 * cw2) + sigma * rng.normal(size=cw2.shape)
+    llr2 = jnp.asarray((2 * y2 / sigma**2).astype(np.float32))
+    b1 = decode_ldpc(llr2, graph=graph, config=LDPCConfig(maxIter=20,
+                                                          alg="NMSA"))
+    b2 = decode_ldpc(llr2, graph=graph,
+                     config=LDPCConfig(maxIter=20, alg="NMSA",
+                                       earlyExit=True))
+    assert np.array_equal(np.asarray(b1[0]), cw2)
+    for u, v in zip(b1, b2):
+        assert np.array_equal(np.asarray(u), np.asarray(v))
