@@ -260,8 +260,11 @@ def make_qc_decoder(n, R, max_iter, alg="MSA", msg_dtype="f32",
         llr_p = llrs[k:].reshape(Z, q, B).transpose(1, 0, 2)  # (q, Z, B)
 
         X0 = v2c_totals(llr_info, llr_p)
-        carry0 = (X0, jnp.zeros(B, bool), llr_info, llr_p,
-                  jnp.zeros(B, jnp.int32))
+        # done/n_iters derived from the data, not jnp.zeros: under
+        # shard_map the scan carry must be device-varying from iteration 0
+        # (same rule as _manakov_span's while_loop carries)
+        carry0 = (X0, llrs[0] != llrs[0], llr_info, llr_p,
+                  (llrs[0] * 0).astype(jnp.int32))
 
         def iteration(carry, _):
             X, done, fT, fTp, n_iters = carry
@@ -333,6 +336,14 @@ def _make_fused_decoder(tb, max_iter, alg, msg_dtype, early_exit,
 
     if alg not in ("MSA", "NMSA"):
         raise ValueError("fused QC decoder supports MSA/NMSA only")
+    if want_mega and early_exit:
+        import warnings
+
+        warnings.warn(
+            "backend='mega' runs a fixed grid — early_exit is ignored "
+            "(outputs identical; wall time is max_iter, not convergence). "
+            "Use backend='fused' for the while_loop early exit.",
+            stacklevel=3)
     alpha = 0.75 if alg == "NMSA" else None
     k, m, q, G, S = tb["k"], tb["m"], tb["q"], tb["G"], tb["S"]
     g_tab, s_tab = tb["g_tab"], tb["s_tab"]
@@ -378,14 +389,17 @@ def _make_fused_decoder(tb, max_iter, alg, msg_dtype, early_exit,
         llr_p4 = llr_p.reshape(nb, q, Z, bt)
 
         if want_mega:
-            from opticommpy_tpu.kernels.qc_mega import qc_decode_mega
+            from opticommpy_tpu.kernels.qc_mega import (
+                MEGA_VMEM_BUDGET, mega_state_bytes, qc_decode_mega)
 
-            try:
-                M0 = jnp.zeros((S + 2, nb * q, Z, bt), mdt)
+            # explicit pre-check (not try/except): only a genuine budget
+            # overflow falls back; any other error in the megakernel raises
+            if mega_state_bytes(G, q, S, bt, mdt) <= MEGA_VMEM_BUDGET:
                 fT, fTp, stats = qc_decode_mega(
                     llr_info.reshape(nb, G * Z, bt),
-                    llr_p.reshape(nb, q * Z, bt), M0, pos_tab, sh_tab,
-                    bsh_tab, G, K, alpha=alpha, interpret=interpret)
+                    llr_p.reshape(nb, q * Z, bt), pos_tab, sh_tab,
+                    bsh_tab, G, K, msg_dtype=mdt, alpha=alpha,
+                    interpret=interpret)
                 fT = untile_batch(fT.reshape(nb * G, Z, bt), nb, bt)
                 fTp = untile_batch(fTp.reshape(nb * q, Z, bt), nb, bt)
                 done = stats[:, 0].reshape(B) > 0.5
@@ -397,13 +411,11 @@ def _make_fused_decoder(tb, max_iter, alg, msg_dtype, early_exit,
                     out = out[:, :B_in]
                     n_iters, done = n_iters[:B_in], done[:B_in]
                 return out, n_iters, ~done
-            except ValueError:
-                pass  # state exceeds the VMEM budget: multi-kernel path
 
         M0 = jnp.zeros((S + 2, nb * q, Z, bt), mdt)
         carry0 = (M0, llr_info, llr_info.astype(mdt), llr_p,
-                  llr_p.astype(mdt), jnp.zeros(B, bool), llr_info, llr_p,
-                  jnp.zeros(B, jnp.int32))
+                  llr_p.astype(mdt), llrs[0] != llrs[0], llr_info, llr_p,
+                  (llrs[0] * 0).astype(jnp.int32))
 
         def step(carry, kk):
             M, T, Tc, Tp, Tpc, done, fT, fTp, n_iters = carry

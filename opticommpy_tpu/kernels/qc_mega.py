@@ -15,8 +15,11 @@ compiles and runs) — so the entire per-chunk decoder state fits on-chip:
     votes/done/n_iter (8, bt)           bookkeeping
 
 Only the check messages M (the one tensor that genuinely exceeds VMEM)
-stream through HBM — one read + one write per column per iteration, via
-an aliased blocked input/output. Grid = (batch chunk, iteration,
+stream through HBM — one contiguous read + one write per column per
+iteration, by explicit DMA against an ANY-space output buffer (NOT an
+aliased blocked input: interpret mode snapshots aliased inputs, and on
+hardware the feedback would silently depend on the pipeline's fetch
+distance). Grid = (batch chunk, iteration,
 column | bookkeeping): column steps run the exact two-min check update
 against T_prev (in-register dynamic rotates) and scatter the new
 messages' contributions into T_acc with dynamically-offset VMEM
@@ -44,16 +47,16 @@ from jax.experimental.pallas import tpu as pltpu
 Z = 360
 
 
-def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref, m_ref,
-               mout_ref, ft_ref, ftp_ref, stats_ref,
-               tprev, tacc, tpprev, tpacc, x_scr, m1_ref, m2_ref,
+def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref,
+               m_any, ft_ref, ftp_ref, stats_ref,
+               tprev, tacc, tpprev, tpacc, m_scr, x_scr, m1_ref, m2_ref,
                parx_ref, partot_ref, vote_ref, done_ref, niter_ref, sem,
                *, S, q, G, K, alpha, mdt):
     D = S + 2
     b = pl.program_id(0)
     k = pl.program_id(1)
     j = pl.program_id(2)
-    bt = m_ref.shape[-1]
+    bt = tprev.shape[-1]
     row0 = jax.lax.broadcasted_iota(jnp.int32, (Z, bt), 0) == 0
 
     def dma_init():
@@ -74,6 +77,22 @@ def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref, m_ref,
 
     @pl.when(j < q)
     def _():  # check column j + T_acc scatter
+        # this column's messages: zeros at the first iteration (BP
+        # initial state), otherwise the explicit HBM read-back of what
+        # step (k-1, j) wrote. The round-3 version fed M back through an
+        # aliased blocked input — which interpret mode SNAPSHOTS (reads
+        # never see writes) and which on hardware silently depends on the
+        # pipeline's fetch distance; manual DMA is well-defined in both.
+        @pl.when(k == 0)
+        def _():
+            m_scr[...] = jnp.zeros((D, Z, bt), mdt)
+
+        @pl.when(k > 0)
+        def _():
+            cp = pltpu.make_async_copy(m_any.at[b * q + j], m_scr, sem)
+            cp.start()
+            cp.wait()
+
         inf = jnp.full((Z, bt), jnp.inf, jnp.float32)
         m1_ref[...] = inf
         m2_ref[...] = inf
@@ -95,14 +114,14 @@ def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref, m_ref,
             plane = tprev[pl.ds(pos_ref[sl, j] * Z, Z), :].astype(
                 jnp.float32)
             tot32 = pltpu.roll(plane, sh_ref[sl, j], axis=0)
-            x32 = tot32 - m_ref[sl, 0].astype(jnp.float32)
+            x32 = tot32 - m_scr[sl].astype(jnp.float32)
             if mdt == jnp.bfloat16:
                 x32 = x32.astype(mdt).astype(jnp.float32)
             accum(sl, x32, tot32 < 0)
 
         # slot S: accumulator self edge p_j -> c_j
         tot32 = tpprev[pl.ds(j * Z, Z), :].astype(jnp.float32)
-        x32 = tot32 - m_ref[S, 0].astype(jnp.float32)
+        x32 = tot32 - m_scr[S].astype(jnp.float32)
         if mdt == jnp.bfloat16:
             x32 = x32.astype(mdt).astype(jnp.float32)
         accum(S, x32, tot32 < 0)
@@ -112,7 +131,7 @@ def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref, m_ref,
         jm1 = jnp.where(first, q - 1, j - 1)
         plane = tpprev[pl.ds(jm1 * Z, Z), :].astype(jnp.float32)
         tot32 = pltpu.roll(plane, jnp.where(first, 1, 0), axis=0)
-        x32 = tot32 - m_ref[S + 1, 0].astype(jnp.float32)
+        x32 = tot32 - m_scr[S + 1].astype(jnp.float32)
         if mdt == jnp.bfloat16:
             x32 = x32.astype(mdt).astype(jnp.float32)
         mask0 = row0 & first
@@ -125,7 +144,9 @@ def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref, m_ref,
         vote_ref[...] = jnp.where(
             j == 0, ok, jnp.minimum(vote_ref[...], ok))
 
-        # leave-one-out outputs + contributions into the accumulators
+        # leave-one-out outputs + contributions into the accumulators;
+        # the new messages overwrite m_scr (the read values were fully
+        # consumed by pass 1) and stream back to HBM in one DMA
         m1 = m1_ref[...]
         m2 = m2_ref[...]
 
@@ -139,19 +160,19 @@ def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref, m_ref,
 
         for sl in range(S):
             mnew = loo(sl)
-            mout_ref[sl, 0] = mnew.astype(mdt)
+            m_scr[sl] = mnew.astype(mdt)
             if mdt == jnp.bfloat16:
                 mnew = mnew.astype(mdt).astype(jnp.float32)
             off = pos_ref[sl, j] * Z
             back = pltpu.roll(mnew, bsh_ref[sl, j], axis=0)
             tacc[pl.ds(off, Z), :] = tacc[pl.ds(off, Z), :] + back
         mS = loo(S)
-        mout_ref[S, 0] = mS.astype(mdt)
+        m_scr[S] = mS.astype(mdt)
         if mdt == jnp.bfloat16:
             mS = mS.astype(mdt).astype(jnp.float32)
         tpacc[pl.ds(j * Z, Z), :] = tpacc[pl.ds(j * Z, Z), :] + mS
         mS1 = loo(S + 1)
-        mout_ref[S + 1, 0] = mS1.astype(mdt)
+        m_scr[S + 1] = mS1.astype(mdt)
         if mdt == jnp.bfloat16:
             mS1 = mS1.astype(mdt).astype(jnp.float32)
         # column j's staircase message reaches parity column j-1; column
@@ -161,24 +182,36 @@ def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref, m_ref,
         offp = jm1 * Z
         tpacc[pl.ds(offp, Z), :] = tpacc[pl.ds(offp, Z), :] + d
 
+        @pl.when(k < K - 1)
+        def _():  # the phantom step's messages are never read back
+            cp = pltpu.make_async_copy(m_scr, m_any.at[b * q + j], sem)
+            cp.start()
+            cp.wait()
+
     @pl.when(j == q)
     def _():  # bookkeeping: fold vote of T_k, freeze T_{k+1}, swap
         ok = vote_ref[...] * jnp.where(k > 0, 1.0, 0.0)
         done = jnp.maximum(done_ref[...], ok)
         done_ref[...] = done
         last = k == K - 1
+        k0 = k == 0
         live = (done[0:1, :] < 0.5) & ~last
         niter_ref[...] = niter_ref[...] + jnp.where(
             jnp.broadcast_to(live, (8, bt)), 1.0, 0.0)
         frozen = (done[0:1, :] > 0.5) | last
 
-        # freeze pass in multi-plane chunks (dynamic ds offsets)
+        # freeze pass in multi-plane chunks (dynamic ds offsets). At
+        # k == 0 the output buffers are UNINITIALIZED — the frozen
+        # fallback is the channel LLRs (still in the pre-swap tprev),
+        # matching the fused path's fT carry init (fec_qc carry0).
         ch = max(c for c in (8, 6, 5, 4, 3, 2, 1) if G % c == 0)
         fro_c = jnp.broadcast_to(frozen, (ch * Z, bt))
 
         def fz(body_i, _):
             off = body_i * (ch * Z)
-            cur = ft_ref[0, pl.ds(off, ch * Z), :]
+            prev = ft_ref[0, pl.ds(off, ch * Z), :]
+            base = tprev[pl.ds(off, ch * Z), :].astype(jnp.float32)
+            cur = jnp.where(k0, base, prev)
             new = tacc[pl.ds(off, ch * Z), :]
             ft_ref[0, pl.ds(off, ch * Z), :] = jnp.where(fro_c, cur, new)
             return 0
@@ -190,15 +223,17 @@ def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref, m_ref,
 
         def fzp(body_i, _):
             off = body_i * (chp * Z)
-            cur = ftp_ref[0, pl.ds(off, chp * Z), :]
+            prev = ftp_ref[0, pl.ds(off, chp * Z), :]
+            base = tpprev[pl.ds(off, chp * Z), :].astype(jnp.float32)
+            cur = jnp.where(k0, base, prev)
             new = tpacc[pl.ds(off, chp * Z), :]
             ftp_ref[0, pl.ds(off, chp * Z), :] = jnp.where(fro_p, cur, new)
             return 0
 
         jax.lax.fori_loop(0, q // chp, fzp, 0)
 
-        stats_ref[0:8] = done_ref[...]
-        stats_ref[8:16] = niter_ref[...]
+        stats_ref[0, 0:8] = done_ref[...]
+        stats_ref[0, 8:16] = niter_ref[...]
 
         @pl.when(~last)
         def _():
@@ -207,30 +242,60 @@ def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref, m_ref,
             dma_init()
 
 
-def qc_decode_mega(llr_i, llr_p, M0, pos_tab, sh_tab, bsh_tab, G, K, *,
-                   alpha=None, interpret=False):
+MEGA_VMEM_BUDGET = 100 * 2**20
+
+
+def mega_state_bytes(G, q, S, bt, msg_dtype):
+    """VMEM bytes the megakernel keeps resident for one grid row.
+
+    Callers should check ``mega_state_bytes(...) <= MEGA_VMEM_BUDGET``
+    *before* invoking :func:`qc_decode_mega` (the decoder raises
+    :class:`MegaBudgetError` otherwise) so an oversized configuration is
+    routed to the multi-kernel path without exception-driven control flow.
+    """
+    msz = jnp.dtype(
+        jnp.bfloat16 if msg_dtype == "bf16" else msg_dtype).itemsize
+    D = S + 2
+    GZ = G * Z
+    return (GZ * bt * (msz + 4 + 4)              # tprev, tacc, fT
+            + q * Z * bt * (msz + 4 + 4)         # tpprev, tpacc, fTp
+            + 2 * D * Z * bt * msz               # m_scr + x_scr
+            + 8 * Z * bt * 4)                    # roll/vote planes
+
+
+class MegaBudgetError(ValueError):
+    """Megakernel resident state exceeds the VMEM budget."""
+
+
+def qc_decode_mega(llr_i, llr_p, pos_tab, sh_tab, bsh_tab, G, K, *,
+                   msg_dtype=jnp.float32, alpha=None, interpret=False):
     """Run the whole QC BP decode in one kernel.
 
     llr_i: (nb, G*Z, bt) f32; llr_p: (nb, q*Z, bt) f32 (tiled layouts).
-    M0: (S+2, nb*q, Z, bt) initial messages (zeros).
-    pos/sh/bsh tabs: (S, q) int32.
+    pos/sh/bsh tabs: (S, q) int32. ``msg_dtype``: check-message storage
+    dtype (the BP initial messages are zeros, created in-kernel).
     Returns (fT (nb, G*Z, bt) f32, fTp (nb, q*Z, bt) f32,
     stats (nb, 16, bt) f32 — rows 0..7 done, 8..15 n_iters).
+
+    The check messages M live in an ANY-space (HBM) *output* buffer,
+    column-major ``(nb*q, S+2, Z, bt)``, moved by explicit per-column
+    DMA — one contiguous read + one write per column per iteration.
+    No input/output aliasing: reads at iteration k>0 target the buffer
+    written at k-1, which is well-defined in compiled AND interpret
+    modes (an aliased blocked input is snapshotted by interpret mode —
+    the round-3 version silently decoded with frozen zero messages
+    there).
     """
     S, q = pos_tab.shape
     D = S + 2
     nb = llr_i.shape[0]
     bt = llr_i.shape[-1]
-    mdt = M0.dtype
-    msz = jnp.dtype(mdt).itemsize
+    mdt = jnp.dtype(msg_dtype)
     GZ = G * Z
 
-    state = (GZ * bt * (msz + 4 + 4)             # tprev, tacc, fT
-             + q * Z * bt * (msz + 4 + 4)         # tpprev, tpacc, fTp
-             + D * Z * bt * msz + 8 * Z * bt * 4  # x_scr + planes
-             + D * Z * bt * msz * 4)              # m in/out double-buffered
-    if state > 100 * 2**20:
-        raise ValueError(
+    state = mega_state_bytes(G, q, S, bt, mdt)
+    if state > MEGA_VMEM_BUDGET:
+        raise MegaBudgetError(
             f"megakernel state {state/2**20:.1f} MB exceeds the ~100 MB "
             "VMEM budget; use the multi-kernel fused path")
 
@@ -240,27 +305,22 @@ def qc_decode_mega(llr_i, llr_p, M0, pos_tab, sh_tab, bsh_tab, G, K, *,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # llr_i (manual DMA)
             pl.BlockSpec(memory_space=pltpu.ANY),   # llr_p (manual DMA)
-            pl.BlockSpec(                           # M (aliased)
-                (D, 1, Z, bt),
-                lambda b, k, j, pos, sh, bsh:
-                (0, b * q + jnp.minimum(j, q - 1), 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (D, 1, Z, bt),
-                lambda b, k, j, pos, sh, bsh:
-                (0, b * q + jnp.minimum(j, q - 1), 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # M (manual DMA)
             pl.BlockSpec((1, GZ, bt),
                          lambda b, k, j, pos, sh, bsh: (b, 0, 0)),
             pl.BlockSpec((1, q * Z, bt),
                          lambda b, k, j, pos, sh, bsh: (b, 0, 0)),
-            pl.BlockSpec((16, bt), lambda b, k, j, pos, sh, bsh: (b, 0)),
+            pl.BlockSpec((1, 16, bt),
+                         lambda b, k, j, pos, sh, bsh: (b, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((GZ, bt), mdt),          # tprev
             pltpu.VMEM((GZ, bt), jnp.float32),  # tacc
             pltpu.VMEM((q * Z, bt), mdt),       # tpprev
             pltpu.VMEM((q * Z, bt), jnp.float32),  # tpacc
+            pltpu.VMEM((D, Z, bt), mdt),        # m_scr
             pltpu.VMEM((D, Z, bt), mdt),        # x_scr
             pltpu.VMEM((Z, bt), jnp.float32),   # m1
             pltpu.VMEM((Z, bt), jnp.float32),   # m2
@@ -276,14 +336,13 @@ def qc_decode_mega(llr_i, llr_p, M0, pos_tab, sh_tab, bsh_tab, G, K, *,
         partial(_mega_body, S=S, q=q, G=G, K=K, alpha=alpha, mdt=mdt),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((D, nb * q, Z, bt), mdt),
+            jax.ShapeDtypeStruct((nb * q, D, Z, bt), mdt),
             jax.ShapeDtypeStruct((nb, GZ, bt), jnp.float32),
             jax.ShapeDtypeStruct((nb, q * Z, bt), jnp.float32),
             jax.ShapeDtypeStruct((nb, 16, bt), jnp.float32),
         ),
-        input_output_aliases={5: 0},  # M (after the 3 prefetch + 2 ANY)
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(state * 1.6) + 8 * 2**20),
         interpret=interpret,
-    )(pos_tab, sh_tab, bsh_tab, llr_i, llr_p, M0)
+    )(pos_tab, sh_tab, bsh_tab, llr_i, llr_p)
     return fT, fTp, stats

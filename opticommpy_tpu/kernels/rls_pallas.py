@@ -440,8 +440,12 @@ def mimo_rls_pallas_batch(sig, symb_ref, const, alg="rls", n_taps=15, sps=2,
     Returns (y (B, nSym, modes) complex, H (B, modes, modes, taps),
     Sd (B, modes, taps, taps)).
     """
-    sig = jnp.asarray(sig)
-    n_batch, _, n_modes = sig.shape
+    # no jnp.asarray: complex host->device transfers are UNIMPLEMENTED on
+    # the TPU tunnel — split_ri handles numpy (host split) and device
+    # arrays (jitted split); shape comes from the duck-typed input
+    if not hasattr(sig, "ndim"):
+        sig = np.asarray(sig)
+    n_batch, _, n_modes = np.shape(sig)
     sig_re, sig_im = split_ri(sig)
     const = np.asarray(const).astype(np.complex64)
     if symb_ref is None:

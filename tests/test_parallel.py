@@ -237,6 +237,48 @@ def test_manakov_sp_edfa_runs(mesh_time4):
     assert 0.8 * p_in < p_out < 1.6 * p_in
 
 
+def test_sharded_qc_decode_matches_single_device():
+    """FEC data parallelism (VERDICT r3 item 1): the QC DVB-S2 decode with
+    the codeword batch sharded over a data axis (shard_map, one local
+    decode per device — reference per-codeword loop optic/comm/fec.py:735)
+    is BIT-EXACT vs the single-device decode: identical soft totals,
+    decisions, iteration counts and failure flags. Per-codeword math never
+    crosses the batch axis, so even the f32 accumulation order matches."""
+    from jax.sharding import PartitionSpec as P
+
+    from opticommpy_tpu.comm import fec_qc
+    from opticommpy_tpu.comm.fec import encode_ldpc, standard_ldpc
+
+    n, R, k = 64800, "4/5", 51840
+    _, edges = standard_ldpc("DVBS2", n, R)
+    n_dev = 8
+    B = 2 * n_dev
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2, size=(k, B)).astype(np.int8)
+    cw = np.asarray(encode_ldpc(jnp.asarray(bits), edges=edges))
+    sigma = np.sqrt(0.5 * 10 ** (-3.2 / 10))  # above the NMSA-8 waterfall
+    y = (1 - 2.0 * cw) + sigma * rng.normal(size=cw.shape)
+    llr = jnp.asarray((2 * y / sigma**2).astype(np.float32))
+
+    dec = fec_qc.make_qc_decoder(n, R, 8, "NMSA", "f32")
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    dec_sharded = jax.jit(jax.shard_map(
+        lambda l: dec(l), mesh=mesh,
+        in_specs=P(None, "data"),
+        out_specs=(P(None, "data"), P("data"), P("data")),
+    ))
+    out_s, it_s, fail_s = dec_sharded(llr)
+    out_r, it_r, fail_r = dec(llr)
+    assert np.array_equal(np.asarray(out_s, np.float32),
+                          np.asarray(out_r, np.float32))
+    assert np.array_equal(np.asarray(it_s), np.asarray(it_r))
+    assert np.array_equal(np.asarray(fail_s), np.asarray(fail_r))
+    # and the decode itself works under sharding: some codewords converge
+    # error-free at this SNR
+    dec_bits = np.asarray(out_s, np.float32) < 0
+    assert (dec_bits == (cw > 0.5)).all(axis=0).any()
+
+
 def test_two_process_distributed_backend():
     """2-process jax.distributed over localhost (VERDICT r1 item 8).
 
