@@ -194,8 +194,9 @@ def run_dsp_chain(batch=8):
 def run_fec_decode(batch=128):
     """DVB-S2 64800b R4/5 BP decode (20 iters, min-sum, bf16), Mbit/s.
 
-    The quasi-cyclic roll-based decoder (comm/fec_qc.py) with the fused
-    Pallas check update — the decode_ldpc default for DVB-S2 graphs;
+    The quasi-cyclic roll-based decoder (comm/fec_qc.py); backend='auto'
+    resolves to the resident-totals megakernel on accelerators (round 4;
+    kernels/qc_mega.py) — the decode_ldpc default for DVB-S2 graphs;
     bench_fec.py has the layout/dtype/batch sweep.
     """
     import jax.numpy as jnp

@@ -12,9 +12,12 @@ Measured on TPU v5e (2026-08): n=16200 MSA 53.8, SPA 56.2 Mbit/s at
 B=128 (26 ms/dispatch tunnel overhead included). DVB-S2 64800b R4/5,
 20 iters: gather-path 28-33 Mbit/s; round-2 quasi-cyclic roll layout
 117 (f32) / 173 (bf16) Mbit/s at B=128; round-3 fully-fused Pallas
-iteration (backend='fused', the accelerator default) 216 at B=128 /
-305 at B=512 bf16. The resident-totals megakernel (backend='mega') is
-bit-identical and equal-speed at B=128 — the bound is VPU compute.
+iteration (backend='fused') 202-245 Mbit/s across rates/batches.
+Round 4: the resident-totals megakernel (backend='mega', now the
+accelerator default after fixing its aliased-M feedback — round 3's
+"equal speed" measured a silent fallback) is sign-exact vs 'fused'
+and faster: NMSA-20 bf16 R4/5 190.9 at B=128, 271.5 at B=256, 357.3
+at B=512 (+46% over fused); R9/10 223.4, R1/4 parity.
 """
 
 import json

@@ -171,10 +171,13 @@ def make_qc_decoder(n, R, max_iter, alg="MSA", msg_dtype="f32",
     either way), but wall time tracks the slowest codeword instead of
     ``max_iter``. Keep False when benchmarking fixed-iteration throughput.
 
-    ``backend``: 'fused' = the round-3 fully-fused Pallas iteration
-    (kernels/qc_pallas.py — X never materialized, rolls as in-VMEM dynamic
-    rotates); 'pallas' = XLA rolls + Pallas check update; 'xla' = pure XLA;
-    'auto' = 'fused' for MSA/NMSA on accelerators, 'xla' on CPU.
+    ``backend``: 'mega' = whole decode in one resident-totals Pallas
+    kernel (kernels/qc_mega.py — fastest, no early exit); 'fused' = the
+    round-3 fully-fused Pallas iteration (kernels/qc_pallas.py — X never
+    materialized, rolls as in-VMEM dynamic rotates); 'pallas' = XLA rolls
+    + Pallas check update; 'xla' = pure XLA; 'auto' = 'mega' for MSA/NMSA
+    on accelerators ('fused' when early_exit is requested or the config
+    exceeds the megakernel's VMEM budget), 'xla' on CPU.
     """
     tb = qc_tables(R, n)
     k, m, q, G, S = tb["k"], tb["m"], tb["q"], tb["G"], tb["S"]
@@ -187,11 +190,18 @@ def make_qc_decoder(n, R, max_iter, alg="MSA", msg_dtype="f32",
     if use_fused:
         # 'mega' = whole decode in one resident-totals kernel
         # (kernels/qc_mega.py; no early exit — the grid is fixed).
-        # Measured bit-identical AND equal-speed to 'fused' on v5e at
-        # B=128 — the decode is VPU-compute bound, so eliminating the
-        # totals traffic doesn't move throughput; kept opt-in.
+        # Round-4 re-measurement (after fixing the aliased-M feedback that
+        # silently fell back in round 3): sign-exact vs 'fused' at every
+        # rate, and FASTER — v5e NMSA-20 bf16 R4/5: +11% at B=128, +24%
+        # at B=256, +46% at B=512 (357 vs 245 Mbit/s); R9/10 +10%, R1/4
+        # parity. The totals traffic DOES matter at batch. 'auto' now
+        # prefers mega on accelerators unless early_exit is requested
+        # (the fixed grid can't stop early) or the VMEM budget check in
+        # qc_decode_mega routes an oversized config back to multi-kernel.
+        want_mega = backend == "mega" or (
+            backend == "auto" and on_accel and not early_exit)
         return _make_fused_decoder(tb, max_iter, alg, msg_dtype,
-                                   early_exit, backend == "mega")
+                                   early_exit, want_mega)
     # ``backend``: 'pallas' fuses the check update into one VMEM-resident
     # Pallas pass (one HBM read + one write vs ~5 re-streams as XLA slab
     # ops); 'auto' uses it for MSA/NMSA on accelerator backends and the
