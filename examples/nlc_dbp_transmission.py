@@ -95,8 +95,11 @@ def main():
                          alpha=0.2, D=DISP, gamma=1.3, Fs=RS * 2, amp="ideal",
                          nlprMethod=False, trapIters=1, fusedLinear=True)
 
+    from opticommpy_tpu.comm.metrics import monte_carlo_gmi
+
     print(f"{'P[dBm]':>7} {'SNR_EDC[dB]':>12} {'SNR_DBP[dB]':>12} "
           f"{'BER_EDC':>9} {'BER_DBP':>9}")
+    gmi_rows = []
     for i, p_dbm in enumerate(POWERS_DBM):
         sig_rx = sig_rx_all[:, 2 * i:2 * i + 2]
         sig_dec = decimate(fir_filter(pulse, sig_rx), SPS, 2)
@@ -113,8 +116,13 @@ def main():
             y, d = dsp_chain(sig_cd, symb_ref)
             ber, _, snr = fast_ber_calc(y, d, M, "qam")
             rows[name] = (float(jnp.mean(snr)), float(jnp.mean(ber)))
+            if name == "dbp":
+                gmi, _ = monte_carlo_gmi(y, d, M, "qam")
+                gmi_rows.append((p_dbm, float(jnp.mean(gmi))))
         print(f"{p_dbm:7.1f} {rows['edc'][0]:12.2f} {rows['dbp'][0]:12.2f} "
               f"{rows['edc'][1]:9.2e} {rows['dbp'][1]:9.2e}")
+    for p_dbm, g in gmi_rows:
+        print(f"GMI_DBP {p_dbm:+.1f} dBm = {g:.4f} bits")
 
 
 if __name__ == "__main__":

@@ -72,6 +72,55 @@ def main():
     s2 = float(jnp.ravel(host_psum(arr))[0])
     print(f"RESULT psum {pid} {s2}", flush=True)
 
+    # end-to-end sharded simulation step across the 2 processes (VERDICT
+    # r3 item 6): manakov_ssf_dp with the signal batch on the cross-host
+    # axis, then sharded_edc with the time axis on the local (ICI) axis —
+    # compared against the unsharded (replicated) single-device run.
+    from opticommpy_tpu.dsp.equalization import EDCConfig, edc
+    from opticommpy_tpu.models import SSFMConfig
+    from opticommpy_tpu.models.channels import manakov_ssf
+    from opticommpy_tpu.parallel import manakov_ssf_dp, sharded_edc
+
+    fs = 32e9 * 4
+    n = 2048
+    rng = np.random.default_rng(5)  # same construction on both processes
+    z = rng.normal(size=(n, 4)) + 1j * rng.normal(size=(n, 4))
+    Zf = np.fft.fft(z, axis=0)
+    Zf[np.abs(np.fft.fftfreq(n)) > 0.35] = 0
+    e0 = (0.01 * np.fft.ifft(Zf, axis=0)).astype(np.complex64)
+
+    cfg = SSFMConfig(Ltotal=50.0, Lspan=50.0, hz=10.0, alpha=0.2, D=16.0,
+                     gamma=1.3, Fs=fs, amp="ideal", nlprMethod=False,
+                     trapIters=1)
+    edc_cfg = EDCConfig(L=cfg.Ltotal, D=cfg.D, Fs=fs, Rs=32e9,
+                        NfilterCoeffs=256)
+
+    key = jax.random.PRNGKey(3)
+    out_dp = manakov_ssf_dp(e0, cfg, key, mesh, data_axis="host")
+    out_e = jax.lax.with_sharding_constraint(
+        out_dp, NamedSharding(mesh, P("local", "host")))
+    out_e = sharded_edc(out_e, edc_cfg, mesh, time_axis="local",
+                        mode_axis="host")
+
+    # replicated single-device reference (identical on both processes)
+    ref_dp = manakov_ssf(jnp.asarray(e0), cfg, key)
+    ref_e = edc(ref_dp, edc_cfg)
+
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnums=(2, 3))
+    def rel_err(a, b, lo, hi):
+        a, b = a[lo:hi], b[lo:hi]
+        return jnp.sqrt(jnp.sum(jnp.abs(a - b) ** 2)
+                        / jnp.maximum(jnp.sum(jnp.abs(b) ** 2), 1e-30))
+
+    err_dp = float(rel_err(out_dp, ref_dp, 0, n))
+    err_e2e = float(rel_err(out_e, ref_e, 600, n - 600))
+    print(f"RESULT e2e {pid} err_dp {err_dp:.3e} err_edc {err_e2e:.3e}",
+          flush=True)
+    assert err_dp < 1e-3, err_dp
+    assert err_e2e < 5e-2, err_e2e
+
 
 if __name__ == "__main__":
     main()

@@ -310,7 +310,15 @@ def test_two_process_distributed_backend():
     finally:
         for p in procs:
             p.kill()
+    import re
+
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"RESULT sum {pid} 28.0" in out, out
         assert f"RESULT psum {pid} 28.0" in out, out
+        # end-to-end sharded step across the 2 processes: dp propagation
+        # exact-class, composed EDC within the filter-design band
+        m = re.search(rf"RESULT e2e {pid} err_dp (\S+) err_edc (\S+)", out)
+        assert m, out
+        assert float(m.group(1)) < 1e-3, out
+        assert float(m.group(2)) < 5e-2, out

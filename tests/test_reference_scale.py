@@ -60,9 +60,12 @@ def test_wdm_11ch_full_scale_ber_gmi():
             gmi, ngmi = vals[:2], vals[2:4]
     assert ber is not None and snr is not None and gmi is not None, out
     # pinned 2026-08-20: BER [1.61e-4, 1.87e-4], SNR [18.45, 18.25] dB,
-    # GMI [3.9974, 3.9970], NGMI ~0.9993
+    # GMI [3.9974, 3.9970], NGMI ~0.9993. BER band ~2x around the pin
+    # (VERDICT r3 item 8: the old [0.3e-4, 5e-4] band let a 2.5x BER
+    # regression pass); at 32768 sym/pol x 4 bit, 1.6e-4 is ~21 bit
+    # errors, so a 2x band is ~5 sigma of binomial counting noise.
     for b in ber:
-        assert 0.3e-4 < b < 5e-4, (ber, out)
+        assert 0.8e-4 < b < 3.6e-4, (ber, out)
     assert np.allclose(snr, [18.45, 18.25], atol=0.4), snr
     assert np.allclose(gmi, [3.9974, 3.9970], atol=0.01), gmi
     assert all(v > 0.998 for v in ngmi), ngmi
@@ -84,6 +87,17 @@ def test_dbp_full_scale_snr_gain():
     assert abs(s_edc - 22.31) < 0.5, table
     assert s_dbp - s_edc >= 8.0, table
     assert b_dbp == 0.0, table
+    # DBP-chain GMI pin (VERDICT r3 item 8): 16-QAM error-free through
+    # 6 dBm => saturated GMI (pinned full-scale 2026-08-21: 4.0000 bits
+    # at every power)
+    gmis = {}
+    for line in out.splitlines():
+        if line.startswith("GMI_DBP"):
+            v = _floats(line)
+            gmis[v[0]] = v[1]
+    assert gmis, out
+    assert gmis[2.0] >= 3.99, gmis
+    assert all(g >= 3.95 for g in gmis.values()), gmis
     # DBP keeps the link error-free through 6 dBm
     for p, (_, _, _, bd) in table.items():
         if p <= 6.0:
