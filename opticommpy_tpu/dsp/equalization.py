@@ -157,6 +157,14 @@ class MIMOEqualizerConfig:
     # mu accordingly). K=1 reproduces the reference's per-symbol recursion.
     # Not supported for the 'rls'/'dd-rls' algorithms.
     blockUpdate: int = 1
+    # backend='pallas' runs each training stage's per-symbol recurrence as
+    # a VMEM-resident Pallas kernel (kernels/mimo_pallas.py) instead of a
+    # lax.scan — exact per-symbol semantics, several-x faster on TPU.
+    # Supported per stage for alg in {'nlms','dd-lms','cma','rde',
+    # 'da-rde'} with blockUpdate == 1, runWL == False, storeCoeff ==
+    # False; unsupported stages fall back to the scan (H chains through
+    # either way). 'scan' (default) = the reference-shaped lax.scan path.
+    backend: str = "scan"
 
 
 def _decide(z, const):
@@ -376,6 +384,78 @@ def _adapt_eq_stage_blocked(
     return sig_out, H, H_, err_sq
 
 
+_PALLAS_STAGE_ALGS = ("nlms", "dd-lms", "cma", "rde", "da-rde")
+
+
+def _adapt_eq_stage_pallas(sig_pad, symb_ref, H, const_np, mu, alg, sps,
+                           n_taps, n_start, length):
+    """One training stage on the VMEM-resident Pallas kernel.
+
+    Per-symbol semantics identical to :func:`_adapt_eq_stage` for the
+    supported rules (equivalence pinned in tests/test_mimo_pallas.py);
+    symbol windows are gathered from the SAME globally padded signal at
+    the scan stages' alignment, so H chains between mixed scan/Pallas
+    stages exactly. Returns (sig_out, H_new, err_sq) with err_sq
+    recomputed from the outputs (elementwise, same formulas as the scan
+    rules).
+    """
+    import jax
+
+    from opticommpy_tpu.kernels.bps_pallas import _square_qam_levels
+    from opticommpy_tpu.kernels.mimo_pallas import _mimo_eq_run_windows
+
+    n_modes = sig_pad.shape[1]
+    width = n_modes * n_taps
+    idx = ((n_start + np.arange(length))[:, None] * sps
+           + np.arange(n_taps)[None, :])
+    win = sig_pad[jnp.asarray(idx)]  # (length, taps, modes)
+    w = win.reshape(length, width)
+    ref = symb_ref[n_start:n_start + length]
+
+    kernel_alg = {"nlms": "nlms", "dd-lms": "lms", "cma": "cma",
+                  "rde": "rde", "da-rde": "da-rde"}[alg]
+    n_train = length if alg == "nlms" else 0
+    if alg == "cma":
+        aux = np.array([np.mean(np.abs(const_np) ** 4)
+                        / np.mean(np.abs(const_np) ** 2)], np.float32)
+    elif alg == "rde":
+        aux = np.unique(np.round(np.abs(const_np), 6)).astype(np.float32)
+    else:
+        aux = np.zeros(1, np.float32)
+    qam_grid = _square_qam_levels(const_np.real, const_np.imag)
+
+    h_flat = jnp.transpose(H, (0, 2, 1)).reshape(n_modes, width)
+    out_re, out_im, h_re, h_im = _mimo_eq_run_windows(
+        jnp.real(w).astype(jnp.float32), jnp.imag(w).astype(jnp.float32),
+        jnp.real(ref).astype(jnp.float32), jnp.imag(ref).astype(jnp.float32),
+        jnp.asarray(const_np.real), jnp.asarray(const_np.imag),
+        jnp.asarray(aux), jnp.real(h_flat), jnp.imag(h_flat),
+        n_modes, float(mu), int(n_train), 1024, kernel_alg, qam_grid,
+        jax.default_backend() == "cpu")
+    y = (out_re + 1j * out_im).astype(jnp.complex64)
+    H_new = (h_re + 1j * h_im).reshape(n_modes, n_taps, n_modes)
+    H_new = jnp.transpose(H_new, (0, 2, 1)).astype(jnp.complex64)
+
+    const = jnp.asarray(const_np)
+    if alg == "nlms":
+        err_sq = jnp.abs(ref - y) ** 2
+    elif alg == "dd-lms":
+        dec = const[jnp.argmin(
+            jnp.abs(y[..., None] - const[None, None, :]) ** 2, axis=-1)]
+        err_sq = jnp.abs(dec - y) ** 2
+    elif alg == "cma":
+        err_sq = (float(aux[0]) - jnp.abs(y) ** 2) ** 2
+    elif alg == "rde":
+        radii = jnp.asarray(aux)
+        r = jnp.abs(y)
+        r_dec = radii[jnp.argmin(
+            jnp.abs(r[..., None] - radii[None, None, :]), axis=-1)]
+        err_sq = (r_dec ** 2 - r ** 2) ** 2
+    else:  # da-rde
+        err_sq = (jnp.abs(ref) ** 2 - jnp.abs(y) ** 2) ** 2
+    return y, H_new, err_sq
+
+
 def mimo_adapt_equalizer(sig, config: MIMOEqualizerConfig = None, symb_ref=None,
                          H=None, H_=None, return_results=False):
     """N x N MIMO adaptive equalizer with multi-stage training.
@@ -460,6 +540,13 @@ def mimo_adapt_equalizer(sig, config: MIMOEqualizerConfig = None, symb_ref=None,
         ref_slice = symb_ref[n_start : n_start + length]
         n_iter = config.numIter if stage == 0 else 1
         k_block = config.blockUpdate
+        use_pallas = (
+            config.backend == "pallas"
+            and alg in _PALLAS_STAGE_ALGS
+            and not config.runWL
+            and not config.storeCoeff
+            and k_block == 1
+        )
         use_blocked = (
             k_block > 1
             and alg not in ("rls", "dd-rls")
@@ -467,7 +554,12 @@ def mimo_adapt_equalizer(sig, config: MIMOEqualizerConfig = None, symb_ref=None,
             and length >= k_block
         )
         for _ in range(n_iter):
-            if use_blocked:
+            if use_pallas:
+                sig_out, H, err_sq = _adapt_eq_stage_pallas(
+                    sig_pad, symb_ref, H, const_np, float(mus[stage]),
+                    alg, sps, n_taps, n_start, length)
+                h_iter = H[None]
+            elif use_blocked:
                 n_main = (length // k_block) * k_block
                 sig_out, H, H_, err_sq = _adapt_eq_stage_blocked(
                     stage_slice, ref_slice, H, H_, const, r_cma, r_rde,

@@ -112,6 +112,14 @@ def _kernel(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref, ci_ref,
             err = r_dec**2 - (o_re**2 + o_im**2)
             e_re = err * o_re
             e_im = err * o_im
+        elif alg == "da-rde":
+            # data-aided radius: R from the reference symbol, not the
+            # decision (reference dardeUp; phase-blind first stage)
+            r_re = ref_re_ref[i, :]
+            r_im = ref_im_ref[i, :]
+            err = (r_re**2 + r_im**2) - (o_re**2 + o_im**2)
+            e_re = err * o_re
+            e_im = err * o_im
         else:
             raise ValueError(f"unknown alg {alg}")
 
@@ -158,13 +166,11 @@ def _mimo_eq_run(sig_re, sig_im, ref_re, ref_im, const_re, const_im, aux,
                  h0_re, h0_im, n_taps, sps, mu, n_train, block=1024,
                  alg="lms", qam_grid=None, interpret=False):
     """sig_*: (N, n_modes) f32 at sps samples/symbol; ref_*: (nSym, n_modes)."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    n_modes = sig_re.shape[1]
     n_sym = ref_re.shape[0]
     n_blocks = int(np.ceil(n_sym / block))
     n_pad_sym = n_blocks * block
     l_pad = n_taps // 2
+    n_modes = sig_re.shape[1]
     width = n_modes * n_taps  # flattened (taps, modes)
 
     def windows(x):
@@ -174,8 +180,39 @@ def _mimo_eq_run(sig_re, sig_im, ref_re, ref_im, const_re, const_im, aux,
         w = xp[jnp.asarray(idx)]  # (n_pad_sym, taps, n_modes)
         return w.reshape(n_pad_sym, width)
 
-    w_re = windows(sig_re)
-    w_im = windows(sig_im)
+    out_re, out_im, h_re, h_im = _mimo_eq_run_windows(
+        windows(sig_re), windows(sig_im), ref_re, ref_im, const_re,
+        const_im, aux, h0_re, h0_im, n_modes, mu, n_train, block, alg,
+        qam_grid, interpret)
+    return out_re, out_im, h_re, h_im
+
+
+@partial(jax.jit,
+         static_argnames=("n_modes", "mu", "n_train", "block", "alg",
+                          "qam_grid", "interpret"))
+def _mimo_eq_run_windows(w_re, w_im, ref_re, ref_im, const_re, const_im,
+                         aux, h0_re, h0_im, n_modes, mu, n_train,
+                         block=1024, alg="lms", qam_grid=None,
+                         interpret=False):
+    """Windows-level core: w_*: (nSym, width) pre-gathered symbol windows
+    in the flattened (taps, modes) lane layout; ref_*: (nSym, n_modes).
+
+    Exposed separately so the multi-stage training path
+    (:func:`opticommpy_tpu.dsp.mimo_adapt_equalizer` with
+    ``backend='pallas'``) can slice per-stage windows from ITS padded
+    signal with exactly the scan stages' alignment and chain H between
+    stage kernels."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_sym = ref_re.shape[0]
+    n_blocks = int(np.ceil(n_sym / block))
+    n_pad_sym = n_blocks * block
+    width = w_re.shape[1]
+    # zero-pad the tail block: zero windows make every rule's update a
+    # no-op (the gradient is e * conj(0); nlms divides by the guarded
+    # power with a zero numerator), so the carried H is unaffected
+    w_re = jnp.pad(w_re, ((0, n_pad_sym - n_sym), (0, 0)))
+    w_im = jnp.pad(w_im, ((0, n_pad_sym - n_sym), (0, 0)))
     rp_re = jnp.pad(ref_re, ((0, n_pad_sym - n_sym), (0, 0)))
     rp_im = jnp.pad(ref_im, ((0, n_pad_sym - n_sym), (0, 0)))
     m_const = int(const_re.shape[0])
@@ -225,9 +262,10 @@ def mimo_eq_pallas(sig, symb_ref, const, alg="lms", n_taps=15, sps=2, mu=2e-3,
     """Pallas NxN adaptive equalizer with selectable update rule.
 
     ``alg``: 'lms' (data-aided -> decision-directed), 'nlms' (normalized),
-    'cma' (blind constant-modulus), 'rde' (blind radius-directed). Parameters
-    mirror :func:`opticommpy_tpu.dsp.mimo_adapt_equalizer`. For the blind
-    rules ``symb_ref`` may be None. The mode count is taken from
+    'cma' (blind constant-modulus), 'rde' (blind radius-directed),
+    'da-rde' (data-aided radius-directed — phase-blind training stage).
+    Parameters mirror :func:`opticommpy_tpu.dsp.mimo_adapt_equalizer`.
+    For the blind rules ``symb_ref`` may be None. The mode count is taken from
     ``sig.shape[1]`` (2 = polmux, 4+ = SDM; the reference equalizer is NxN,
     equalization.py:125). Returns (equalized symbols (nSym, n_modes)
     complex, tap tensor H (n_modes, n_modes, n_taps)).
@@ -236,8 +274,9 @@ def mimo_eq_pallas(sig, symb_ref, const, alg="lms", n_taps=15, sps=2, mu=2e-3,
     const = np.asarray(const).astype(np.complex64)
     n_modes = sig_re.shape[1]
     if symb_ref is None:
-        if alg in ("lms", "nlms"):
-            raise ValueError("symb_ref is required for alg='lms'/'nlms'")
+        if alg in ("lms", "nlms", "da-rde"):
+            raise ValueError(
+                "symb_ref is required for alg='lms'/'nlms'/'da-rde'")
         n_sym = sig_re.shape[0] // sps
         ref_re = ref_im = jnp.zeros((n_sym, n_modes), dtype=jnp.float32)
     else:
@@ -355,6 +394,12 @@ def _kernel_batch(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref,
             sel = (cols == ind[..., None]).astype(jnp.float32)
             r_dec = jnp.sum(sel * aux_ref[0, :][None, None, :], axis=-1)
             err = r_dec**2 - (o_re**2 + o_im**2)
+            e_re = err * o_re
+            e_im = err * o_im
+        elif alg == "da-rde":
+            r_re = ref_re_ref[i]  # (n_modes, B)
+            r_im = ref_im_ref[i]
+            err = (r_re**2 + r_im**2) - (o_re**2 + o_im**2)
             e_re = err * o_re
             e_im = err * o_im
         else:
@@ -491,8 +536,9 @@ def mimo_eq_pallas_batch(sig, symb_ref, const, alg="lms", n_taps=15, sps=2,
     const = np.asarray(const).astype(np.complex64)
     n_batch, _, n_modes = sig_re.shape
     if symb_ref is None:
-        if alg in ("lms", "nlms"):
-            raise ValueError("symb_ref is required for alg='lms'/'nlms'")
+        if alg in ("lms", "nlms", "da-rde"):
+            raise ValueError(
+                "symb_ref is required for alg='lms'/'nlms'/'da-rde'")
         n_sym = sig_re.shape[1] // sps
         ref_re = ref_im = jnp.zeros((n_batch, n_sym, n_modes),
                                     dtype=jnp.float32)

@@ -60,9 +60,13 @@ class CoherentDSPConfig:
     M: int = 16
     blockUpdate: int = 1
     # 'scan' runs mimo_adapt_equalizer (any alg tuple, any mode count);
-    # 'pallas' runs the VMEM-resident 2x2 LMS kernel (data-aided for nTrain
-    # symbols then decision-directed) — fastest true per-symbol adaptation
-    # on TPU; on CPU backends it runs in Pallas interpret mode.
+    # 'pallas' runs the SAME multi-stage training schedule (alg tuple,
+    # numIter pre-convergence passes, per-stage mu) with every stage's
+    # per-symbol recurrence as a VMEM-resident Pallas kernel
+    # (mimo_adapt_equalizer backend='pallas'; matches the scan chain to
+    # ~1e-5) — the fast exact training path on TPU; 'pallas-lms' is the
+    # legacy single-stage LMS kernel (data-aided for nTrain symbols, then
+    # decision-directed, FOE pre-EQ). CPU backends run interpret mode.
     eqBackend: str = "scan"
     # carrier recovery
     cpr_window: int = 75
@@ -97,12 +101,12 @@ def coherent_dsp_chain(sig, symb_ref, config: CoherentDSPConfig = CoherentDSPCon
     x = pnorm(x)
 
     n_sym = symb_ref.shape[0]
-    if cfg.eqBackend == "pallas":
+    if cfg.eqBackend == "pallas-lms":
         from opticommpy_tpu.kernels.mimo_pallas import mimo_eq_pallas
 
         # LMS is phase-sensitive: remove the carrier frequency offset BEFORE
-        # adaptation (the scan path tolerates it because its first stage is
-        # the radius-directed da-rde). 4th-power FOE works on the
+        # adaptation (the multi-stage paths tolerate it because their first
+        # stage is the radius-directed da-rde). 4th-power FOE works on the
         # oversampled signal with a narrow-rolloff matched filter.
         if cfg.runFOE:
             x, _ = fourth_power_foe(x, fs_dsp, 4)
@@ -119,10 +123,11 @@ def coherent_dsp_chain(sig, symb_ref, config: CoherentDSPConfig = CoherentDSPCon
             nTaps=cfg.nTaps, SpS=cfg.SpS_dsp, mu=cfg.mu, alg=cfg.alg,
             L=(cfg.nTrain, n_sym - cfg.nTrain), M=cfg.M, numIter=2,
             blockUpdate=cfg.blockUpdate,
+            backend="pallas" if cfg.eqBackend == "pallas" else "scan",
         )
         y = mimo_adapt_equalizer(x, eq_cfg, symb_ref=pnorm(symb_ref))
 
-    if cfg.runFOE and cfg.eqBackend != "pallas":  # pallas: FOE ran pre-EQ
+    if cfg.runFOE and cfg.eqBackend != "pallas-lms":  # pallas-lms: pre-EQ
         y, _ = fourth_power_foe(y, cfg.Rs, 4)
         y = pnorm(y)
     const = gray_mapping(cfg.M, "qam")
