@@ -36,7 +36,16 @@ _MAX_RADIX = 128
 
 
 def _factorize(n):
-    """Split n into radix factors <= 128, largest first (MXU-sized)."""
+    """Split n into radix factors <= 128, SMALLEST first (MXU-sized).
+
+    Ordering matters a lot on TPU (round-4 v5e probe, 2^20): the LAST
+    level contracts along the array's minor (lane) axis, so a trailing
+    radix < 128 runs on half-empty 128-lane registers / a K<128 MXU pass
+    — [128, 128, 64] measured 547 us per fwd+ifft pair while [64, 128,
+    128] measured 377 us (1.45x), identical 2.4e-7 roundtrip error. Early
+    levels contract on the sublane axis where small radices cost far
+    less, so the small factors go first.
+    """
     factors = []
     rem = n
     while rem > _MAX_RADIX:
@@ -48,7 +57,7 @@ def _factorize(n):
         else:
             raise ValueError(f"cannot factor {n} into radices <= {_MAX_RADIX}")
     factors.append(rem)
-    return factors
+    return sorted(factors)
 
 
 def _dft_mat(r, dtype=np.complex128):
