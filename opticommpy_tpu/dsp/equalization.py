@@ -158,12 +158,15 @@ class MIMOEqualizerConfig:
     # Not supported for the 'rls'/'dd-rls' algorithms.
     blockUpdate: int = 1
     # backend='pallas' runs each training stage's per-symbol recurrence as
-    # a VMEM-resident Pallas kernel (kernels/mimo_pallas.py) instead of a
+    # a VMEM-resident Pallas kernel (kernels/mimo_pallas.py for the
+    # gradient rules, kernels/rls_pallas.py for rls/dd-rls) instead of a
     # lax.scan — exact per-symbol semantics, several-x faster on TPU.
     # Supported per stage for alg in {'nlms','dd-lms','cma','rde',
-    # 'da-rde'} with blockUpdate == 1, runWL == False, storeCoeff ==
-    # False; unsupported stages fall back to the scan (H chains through
-    # either way). 'scan' (default) = the reference-shaped lax.scan path.
+    # 'da-rde'} with blockUpdate == 1, and for {'rls','dd-rls'} (dd-rls
+    # needs a square-QAM constellation), both with runWL == False and
+    # storeCoeff == False; unsupported stages fall back to the scan (H and
+    # Sd chain through either way). 'scan' (default) = the
+    # reference-shaped lax.scan path.
     backend: str = "scan"
 
 
@@ -387,6 +390,57 @@ def _adapt_eq_stage_blocked(
 _PALLAS_STAGE_ALGS = ("nlms", "dd-lms", "cma", "rde", "da-rde")
 
 
+def _adapt_eq_stage_pallas_rls(sig_pad, symb_ref, H, Sd, const_np, lam,
+                               alg, sps, n_taps, n_start, length):
+    """One RLS / DD-RLS training stage on the VMEM-resident Pallas kernel.
+
+    Same contract as :func:`_adapt_eq_stage_pallas` (windows gathered from
+    the globally padded signal at the scan stages' alignment) plus the
+    inverse-correlation state ``Sd`` carried in/out, so RLS stages chain
+    exactly with scan stages. Returns (sig_out, H_new, Sd_new, err_sq).
+    """
+    import jax
+
+    from opticommpy_tpu.kernels.bps_pallas import _square_qam_levels
+    from opticommpy_tpu.kernels.rls_pallas import _rls_run_windows
+
+    n_modes = sig_pad.shape[1]
+    block = 256
+    n_pad_sym = -(-length // block) * block
+    idx = ((n_start + np.arange(length))[:, None] * sps
+           + np.arange(n_taps)[None, :])
+    win = sig_pad[jnp.asarray(idx)]  # (length, taps, modes)
+    w = jnp.pad(win.transpose(0, 2, 1),  # (n_pad_sym, modes, taps)
+                ((0, n_pad_sym - length), (0, 0), (0, 0)))
+    ref = symb_ref[n_start:n_start + length]
+    rp = jnp.pad(ref, ((0, n_pad_sym - length), (0, 0)))[:, :, None]
+
+    qam_grid = _square_qam_levels(const_np.real, const_np.imag)
+    # with B=1 the kernel's fused (modes_out, B*modes, T) / (B*modes, T, T)
+    # layouts are exactly the scan path's H (o, i, t) and Sd (i, T, T)
+    out_re, out_im, hr, hi, sdr, sdi = _rls_run_windows(
+        jnp.real(w).astype(jnp.float32), jnp.imag(w).astype(jnp.float32),
+        jnp.real(rp).astype(jnp.float32), jnp.imag(rp).astype(jnp.float32),
+        jnp.asarray(const_np.real), jnp.asarray(const_np.imag),
+        jnp.real(H).astype(jnp.float32), jnp.imag(H).astype(jnp.float32),
+        jnp.real(Sd).astype(jnp.float32), jnp.imag(Sd).astype(jnp.float32),
+        n_modes, 1, length, float(lam), block, alg, qam_grid,
+        jax.default_backend() == "cpu")
+    y = (out_re[:length, :, 0] + 1j * out_im[:length, :, 0]).astype(
+        jnp.complex64)
+    H_new = (hr + 1j * hi).astype(jnp.complex64)
+    Sd_new = (sdr + 1j * sdi).astype(jnp.complex64)
+
+    const = jnp.asarray(const_np)
+    if alg == "rls":
+        err_sq = jnp.abs(ref - y) ** 2
+    else:  # dd-rls
+        dec = const[jnp.argmin(
+            jnp.abs(y[..., None] - const[None, None, :]) ** 2, axis=-1)]
+        err_sq = jnp.abs(dec - y) ** 2
+    return y, H_new, Sd_new, err_sq
+
+
 def _adapt_eq_stage_pallas(sig_pad, symb_ref, H, const_np, mu, alg, sps,
                            n_taps, n_start, length):
     """One training stage on the VMEM-resident Pallas kernel.
@@ -547,6 +601,16 @@ def mimo_adapt_equalizer(sig, config: MIMOEqualizerConfig = None, symb_ref=None,
             and not config.storeCoeff
             and k_block == 1
         )
+        if (config.backend == "pallas" and alg in ("rls", "dd-rls")
+                and not config.runWL and not config.storeCoeff):
+            from opticommpy_tpu.kernels.bps_pallas import _square_qam_levels
+
+            # dd-rls needs the O(1) square-QAM slicer; data-aided rls has
+            # no slicer and supports any constellation
+            use_pallas_rls = (alg == "rls" or _square_qam_levels(
+                const_np.real, const_np.imag) is not None)
+        else:
+            use_pallas_rls = False
         use_blocked = (
             k_block > 1
             and alg not in ("rls", "dd-rls")
@@ -558,6 +622,12 @@ def mimo_adapt_equalizer(sig, config: MIMOEqualizerConfig = None, symb_ref=None,
                 sig_out, H, err_sq = _adapt_eq_stage_pallas(
                     sig_pad, symb_ref, H, const_np, float(mus[stage]),
                     alg, sps, n_taps, n_start, length)
+                h_iter = H[None]
+            elif use_pallas_rls:
+                sig_out, H, Sd, err_sq = _adapt_eq_stage_pallas_rls(
+                    sig_pad, symb_ref, H, Sd, const_np,
+                    float(config.lambdaRLS), alg, sps, n_taps, n_start,
+                    length)
                 h_iter = H[None]
             elif use_blocked:
                 n_main = (length // k_block) * k_block

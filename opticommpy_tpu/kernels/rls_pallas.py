@@ -336,45 +336,26 @@ def _kernel_batch(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref,
 
 
 @partial(jax.jit,
-         static_argnames=("n_taps", "sps", "lam", "block", "alg", "qam_grid",
-                          "interpret"))
-def _rls_run_batch(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
-                   h0_re, h0_im, sd0_re, sd0_im, n_taps, sps, lam,
-                   block=256, alg="rls", qam_grid=None, interpret=False):
-    """sig_*: (B, N, modes); ref_*: (B, nSym, modes);
-    h0_*: (B, modes, modes, T); sd0_*: (B, modes, T, T)."""
+         static_argnames=("n_modes", "n_batch", "n_sym", "lam", "block",
+                          "alg", "qam_grid", "interpret"))
+def _rls_run_windows(w_re, w_im, rp_re, rp_im, const_re, const_im,
+                     hf_re, hf_im, sdf_re, sdf_im, n_modes, n_batch, n_sym,
+                     lam, block=256, alg="rls", qam_grid=None,
+                     interpret=False):
+    """Windows-level batched RLS runner (multi-stage training entry point).
+
+    w_*: (n_pad_sym, B*modes, taps) pre-gathered symbol windows
+    (n_pad_sym a multiple of ``block``; rows at/past ``n_sym`` must be
+    zero — they are masked from state updates); rp_*: (n_pad_sym, modes,
+    B) references; hf_*: (modes_out, B*modes, taps) fused taps; sdf_*:
+    (B*modes, taps, taps) inverse-correlation state. Returns the raw
+    fused-layout outputs (out_re, out_im, h_re, h_im, sd_re, sd_im).
+    """
     from jax.experimental.pallas import tpu as pltpu
 
-    n_batch, _, n_modes = sig_re.shape
-    BM = n_batch * n_modes
-    n_sym = ref_re.shape[1]
-    n_blocks = int(np.ceil(n_sym / block))
-    n_pad_sym = n_blocks * block
-    l_pad = n_taps // 2
-
-    def windows(x):  # (B, N, modes) -> (n_pad_sym, B*modes, taps)
-        xp = jnp.pad(x, ((0, 0),
-                         (l_pad, l_pad + sps + n_taps + n_pad_sym * sps
-                          - x.shape[1]), (0, 0)))
-        idx = np.arange(n_pad_sym)[:, None] * sps + np.arange(n_taps)[None, :]
-        w = xp[:, jnp.asarray(idx)]  # (B, n_pad_sym, taps, modes)
-        return w.transpose(1, 0, 3, 2).reshape(n_pad_sym, BM, n_taps)
-
-    w_re = windows(sig_re)
-    w_im = windows(sig_im)
-
-    def refs(r):  # (B, nSym, modes) -> (n_pad_sym, modes, B)
-        rp = jnp.pad(r, ((0, 0), (0, n_pad_sym - n_sym), (0, 0)))
-        return rp.transpose(1, 2, 0)
-
-    rp_re = refs(ref_re)
-    rp_im = refs(ref_im)
-    # H fused: (modes_out, B*modes, T)
-    hf_re = h0_re.transpose(1, 0, 2, 3).reshape(n_modes, BM, n_taps)
-    hf_im = h0_im.transpose(1, 0, 2, 3).reshape(n_modes, BM, n_taps)
-    sdf_re = sd0_re.reshape(BM, n_taps, n_taps)
-    sdf_im = sd0_im.reshape(BM, n_taps, n_taps)
-    m_const = int(const_re.shape[0])
+    n_pad_sym, BM, n_taps = w_re.shape
+    n_blocks = n_pad_sym // block
+    m_const = int(const_re.shape[-1])
 
     kernel = partial(_kernel_batch, block=block, n_modes=n_modes,
                      n_batch=n_batch, lam=lam, n_sym=n_sym, alg=alg,
@@ -412,8 +393,53 @@ def _rls_run_batch(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
             pltpu.VMEM(mtt, jnp.float32), pltpu.VMEM(mtt, jnp.float32),
         ],
         interpret=interpret,
-    )(w_re, w_im, rp_re, rp_im, const_re[None, :], const_im[None, :],
-      hf_re, hf_im, sdf_re, sdf_im)
+    )(w_re, w_im, rp_re, rp_im, const_re.reshape(1, -1),
+      const_im.reshape(1, -1), hf_re, hf_im, sdf_re, sdf_im)
+    return outs
+
+
+@partial(jax.jit,
+         static_argnames=("n_taps", "sps", "lam", "block", "alg", "qam_grid",
+                          "interpret"))
+def _rls_run_batch(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
+                   h0_re, h0_im, sd0_re, sd0_im, n_taps, sps, lam,
+                   block=256, alg="rls", qam_grid=None, interpret=False):
+    """sig_*: (B, N, modes); ref_*: (B, nSym, modes);
+    h0_*: (B, modes, modes, T); sd0_*: (B, modes, T, T)."""
+    n_batch, _, n_modes = sig_re.shape
+    BM = n_batch * n_modes
+    n_sym = ref_re.shape[1]
+    n_blocks = int(np.ceil(n_sym / block))
+    n_pad_sym = n_blocks * block
+    l_pad = n_taps // 2
+
+    def windows(x):  # (B, N, modes) -> (n_pad_sym, B*modes, taps)
+        xp = jnp.pad(x, ((0, 0),
+                         (l_pad, l_pad + sps + n_taps + n_pad_sym * sps
+                          - x.shape[1]), (0, 0)))
+        idx = np.arange(n_pad_sym)[:, None] * sps + np.arange(n_taps)[None, :]
+        w = xp[:, jnp.asarray(idx)]  # (B, n_pad_sym, taps, modes)
+        return w.transpose(1, 0, 3, 2).reshape(n_pad_sym, BM, n_taps)
+
+    w_re = windows(sig_re)
+    w_im = windows(sig_im)
+
+    def refs(r):  # (B, nSym, modes) -> (n_pad_sym, modes, B)
+        rp = jnp.pad(r, ((0, 0), (0, n_pad_sym - n_sym), (0, 0)))
+        return rp.transpose(1, 2, 0)
+
+    rp_re = refs(ref_re)
+    rp_im = refs(ref_im)
+    # H fused: (modes_out, B*modes, T)
+    hf_re = h0_re.transpose(1, 0, 2, 3).reshape(n_modes, BM, n_taps)
+    hf_im = h0_im.transpose(1, 0, 2, 3).reshape(n_modes, BM, n_taps)
+    sdf_re = sd0_re.reshape(BM, n_taps, n_taps)
+    sdf_im = sd0_im.reshape(BM, n_taps, n_taps)
+
+    outs = _rls_run_windows(
+        w_re, w_im, rp_re, rp_im, const_re, const_im, hf_re, hf_im,
+        sdf_re, sdf_im, n_modes, n_batch, n_sym, lam, block, alg,
+        qam_grid, interpret)
     out_re, out_im, hr, hi, sdr, sdi = outs
     # (n_pad_sym, modes, B) -> (B, nSym, modes)
     y_re = out_re[:n_sym].transpose(2, 0, 1)

@@ -364,7 +364,9 @@ def test_multistage_pallas_backend_matches_scan():
 
     for algs, mus in ((("nlms", "dd-lms"), (2e-3, 1e-3)),
                       (("da-rde", "dd-lms"), (5e-3, 1e-3)),
-                      (("cma", "rde"), (1e-3, 1e-3))):
+                      (("cma", "rde"), (1e-3, 1e-3)),
+                      (("rls", "dd-rls"), (1e-3, 1e-3)),
+                      (("rls", "dd-lms"), (1e-3, 1e-3))):
         out = {}
         for be in ("scan", "pallas"):
             cfg = MIMOEqualizerConfig(nTaps=15, SpS=2, mu=mus, alg=algs,
@@ -373,20 +375,23 @@ def test_multistage_pallas_backend_matches_scan():
             y, H, _, es, _ = mimo_adapt_equalizer(sig, cfg, symb_ref=sym,
                                                   return_results=True)
             out[be] = (np.asarray(y), np.asarray(H), np.asarray(es))
-        assert np.abs(out["scan"][0] - out["pallas"][0]).max() < 1e-4, algs
-        assert np.abs(out["scan"][1] - out["pallas"][1]).max() < 1e-4, algs
-        assert np.abs(out["scan"][2] - out["pallas"][2]).max() < 1e-4, algs
+        tol = 3e-4 if "rls" in algs[0] else 1e-4
+        assert np.abs(out["scan"][0] - out["pallas"][0]).max() < tol, algs
+        assert np.abs(out["scan"][1] - out["pallas"][1]).max() < tol, algs
+        assert np.abs(out["scan"][2] - out["pallas"][2]).max() < tol, algs
 
 
 def test_multistage_pallas_unsupported_stage_falls_back():
-    """An rls stage inside a backend='pallas' schedule falls back to the
-    scan stage; H still chains through the mixed path (output equals the
-    all-scan run)."""
+    """A dd-rls stage over a NON-square constellation (8-PSK: no O(1)
+    quantized slicer) inside a backend='pallas' schedule falls back to the
+    scan stage, while the data-aided rls stage before it runs on the
+    kernel; H and Sd still chain through the mixed path (output equals
+    the all-scan run)."""
     from opticommpy_tpu.comm.modulation import gray_mapping
 
     rng = np.random.default_rng(1)
-    n_sym, M = 1200, 4
-    const = gray_mapping(M, "qam")
+    n_sym, M = 1200, 8
+    const = gray_mapping(M, "psk")
     const = const / np.sqrt(np.mean(np.abs(const) ** 2))
     sym = const[rng.integers(0, M, size=(n_sym, 2))]
     x = np.zeros((n_sym * 2, 2), complex)
@@ -397,9 +402,9 @@ def test_multistage_pallas_unsupported_stage_falls_back():
     sym = jnp.asarray(sym.astype(np.complex64))
     for be in ("scan", "pallas"):
         cfg = MIMOEqualizerConfig(nTaps=7, SpS=2, mu=(2e-3, 1e-3),
-                                  alg=("rls", "dd-lms"), L=(400, n_sym - 400),
-                                  M=M, backend=be)
+                                  alg=("rls", "dd-rls"), L=(400, n_sym - 400),
+                                  M=M, constType="psk", backend=be)
         y = mimo_adapt_equalizer(sig, cfg, symb_ref=sym)
         if be == "scan":
             y_ref = np.asarray(y)
-    assert np.abs(np.asarray(y) - y_ref).max() < 1e-4
+    assert np.abs(np.asarray(y) - y_ref).max() < 3e-4
