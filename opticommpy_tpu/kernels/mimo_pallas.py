@@ -437,44 +437,31 @@ def _kernel_batch(win_re_ref, win_im_ref, ref_re_ref, ref_im_ref, cr_ref,
 
 
 @partial(jax.jit,
-         static_argnames=("n_taps", "sps", "mu", "n_train", "block", "alg",
+         static_argnames=("n_modes", "mu", "n_train", "block", "alg",
                           "qam_grid", "interpret"))
-def _mimo_eq_run_batch(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
-                       aux, h0_re, h0_im, n_taps, sps, mu, n_train,
-                       block=256, alg="lms", qam_grid=None, interpret=False):
-    """sig_*: (B, N, n_modes) f32 planes; ref_*: (B, nSym, n_modes)."""
+def _mimo_eq_run_batch_windows(w_re, w_im, rp_re, rp_im, const_re, const_im,
+                               aux, hf_re, hf_im, n_modes, mu, n_train,
+                               block=256, alg="lms", qam_grid=None,
+                               interpret=False):
+    """Windows-level batched runner (multi-stage training entry point).
+
+    w_*: (n_pad_sym, B, width) pre-gathered symbol windows (n_pad_sym a
+    multiple of ``block``; width = n_modes*n_taps, tap-major/mode-minor
+    lanes); rp_*: (n_pad_sym, n_modes, B) references; hf_*: (n_modes, B,
+    width) fused taps. Returns the raw fused-layout outputs
+    (out_re, out_im, h_re, h_im).
+    """
     from jax.experimental.pallas import tpu as pltpu
 
-    n_batch, _, n_modes = sig_re.shape
-    n_sym = ref_re.shape[1]
-    n_blocks = int(np.ceil(n_sym / block))
-    n_pad_sym = n_blocks * block
-    l_pad = n_taps // 2
-    width = n_modes * n_taps
-
-    def windows(x):  # (B, N, 2) -> (n_pad_sym, B, width)
-        xp = jnp.pad(x, ((0, 0), (l_pad, l_pad + sps + n_taps
-                                  + n_pad_sym * sps - x.shape[1]), (0, 0)))
-        idx = np.arange(n_pad_sym)[:, None] * sps + np.arange(n_taps)[None, :]
-        w = xp[:, jnp.asarray(idx)]  # (B, n_pad_sym, taps, n_modes)
-        return w.reshape(n_batch, n_pad_sym, width).transpose(1, 0, 2)
-
-    w_re = windows(sig_re)
-    w_im = windows(sig_im)
-    # refs to (n_pad_sym, n_modes, B): mode on sublanes, batch on lanes
-    rp_re = jnp.pad(ref_re, ((0, 0), (0, n_pad_sym - n_sym), (0, 0)))
-    rp_im = jnp.pad(ref_im, ((0, 0), (0, n_pad_sym - n_sym), (0, 0)))
-    rp_re = rp_re.transpose(1, 2, 0)
-    rp_im = rp_im.transpose(1, 2, 0)
-    h0_re = h0_re.transpose(1, 0, 2)  # (n_modes, B, width)
-    h0_im = h0_im.transpose(1, 0, 2)
-    m_const = int(const_re.shape[0])
-    m_aux = int(aux.shape[0])
+    n_pad_sym, n_batch, width = w_re.shape
+    n_blocks = n_pad_sym // block
+    m_const = int(const_re.shape[-1])
+    m_aux = int(aux.shape[-1])
 
     kernel = partial(_kernel_batch, block=block, n_batch=n_batch, width=width,
                      mu=mu, n_train=n_train, m_const=m_const, alg=alg,
                      m_aux=m_aux, n_modes=n_modes, qam_grid=qam_grid)
-    out_re, out_im, h_re, h_im = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
@@ -505,8 +492,44 @@ def _mimo_eq_run_batch(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
             pltpu.VMEM((n_modes, n_batch, width), jnp.float32),
         ],
         interpret=interpret,
-    )(w_re, w_im, rp_re, rp_im, const_re[None, :], const_im[None, :],
-      aux[None, :], h0_re, h0_im)
+    )(w_re, w_im, rp_re, rp_im, const_re.reshape(1, -1),
+      const_im.reshape(1, -1), aux.reshape(1, -1), hf_re, hf_im)
+
+
+@partial(jax.jit,
+         static_argnames=("n_taps", "sps", "mu", "n_train", "block", "alg",
+                          "qam_grid", "interpret"))
+def _mimo_eq_run_batch(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
+                       aux, h0_re, h0_im, n_taps, sps, mu, n_train,
+                       block=256, alg="lms", qam_grid=None, interpret=False):
+    """sig_*: (B, N, n_modes) f32 planes; ref_*: (B, nSym, n_modes)."""
+    n_batch, _, n_modes = sig_re.shape
+    n_sym = ref_re.shape[1]
+    n_blocks = int(np.ceil(n_sym / block))
+    n_pad_sym = n_blocks * block
+    l_pad = n_taps // 2
+    width = n_modes * n_taps
+
+    def windows(x):  # (B, N, 2) -> (n_pad_sym, B, width)
+        xp = jnp.pad(x, ((0, 0), (l_pad, l_pad + sps + n_taps
+                                  + n_pad_sym * sps - x.shape[1]), (0, 0)))
+        idx = np.arange(n_pad_sym)[:, None] * sps + np.arange(n_taps)[None, :]
+        w = xp[:, jnp.asarray(idx)]  # (B, n_pad_sym, taps, n_modes)
+        return w.reshape(n_batch, n_pad_sym, width).transpose(1, 0, 2)
+
+    w_re = windows(sig_re)
+    w_im = windows(sig_im)
+    # refs to (n_pad_sym, n_modes, B): mode on sublanes, batch on lanes
+    rp_re = jnp.pad(ref_re, ((0, 0), (0, n_pad_sym - n_sym), (0, 0)))
+    rp_im = jnp.pad(ref_im, ((0, 0), (0, n_pad_sym - n_sym), (0, 0)))
+    rp_re = rp_re.transpose(1, 2, 0)
+    rp_im = rp_im.transpose(1, 2, 0)
+    h0_re = h0_re.transpose(1, 0, 2)  # (n_modes, B, width)
+    h0_im = h0_im.transpose(1, 0, 2)
+
+    out_re, out_im, h_re, h_im = _mimo_eq_run_batch_windows(
+        w_re, w_im, rp_re, rp_im, const_re, const_im, aux, h0_re, h0_im,
+        n_modes, mu, n_train, block, alg, qam_grid, interpret)
     # (n_pad_sym, M, B) -> (B, n_sym, M); (M, B, width) -> (B, M, width)
     out_re = out_re[:n_sym].transpose(2, 0, 1)
     out_im = out_im[:n_sym].transpose(2, 0, 1)
