@@ -29,6 +29,7 @@ from opticommpy_tpu.dsp.equalization import (  # noqa: F401
     ffe,
     manakov_dbp,
     mimo_adapt_equalizer,
+    mimo_adapt_equalizer_batch,
     mimo_apply,
     mimo_apply_fused,
     volterra,

@@ -37,6 +37,7 @@ __all__ = [
     "edc",
     "EDCConfig",
     "mimo_adapt_equalizer",
+    "mimo_adapt_equalizer_batch",
     "mimo_apply",
     "mimo_apply_fused",
     "MIMOEqualizerConfig",
@@ -508,6 +509,292 @@ def _adapt_eq_stage_pallas(sig_pad, symb_ref, H, const_np, mu, alg, sps,
     else:  # da-rde
         err_sq = (jnp.abs(ref) ** 2 - jnp.abs(y) ** 2) ** 2
     return y, H_new, err_sq
+
+
+def _adapt_eq_stage_pallas_batch(sig_pad_b, symb_ref_b, H_b, const_np, mu,
+                                 alg, sps, n_taps, n_start, length):
+    """One gradient-rule training stage for B signals on the batched kernel.
+
+    Batched counterpart of :func:`_adapt_eq_stage_pallas`: all B signals'
+    per-symbol recurrences ride the sublane axis of ONE kernel pass
+    (kernels/mimo_pallas.py `_kernel_batch`), per-signal semantics
+    identical to the single path. Returns (y (B, length, modes),
+    H (B, o, i, t), err_sq (B, length, modes)).
+    """
+    import jax
+
+    from opticommpy_tpu.kernels.bps_pallas import _square_qam_levels
+    from opticommpy_tpu.kernels.mimo_pallas import _mimo_eq_run_batch_windows
+
+    n_batch, _, n_modes = sig_pad_b.shape
+    width = n_modes * n_taps
+    block = 256
+    n_pad_sym = -(-length // block) * block
+    idx = ((n_start + np.arange(length))[:, None] * sps
+           + np.arange(n_taps)[None, :])
+    win = sig_pad_b[:, jnp.asarray(idx)]  # (B, length, taps, modes)
+    w = win.reshape(n_batch, length, width).transpose(1, 0, 2)
+    w = jnp.pad(w, ((0, n_pad_sym - length), (0, 0), (0, 0)))
+    ref = symb_ref_b[:, n_start:n_start + length]  # (B, length, modes)
+    rp = jnp.pad(ref, ((0, 0), (0, n_pad_sym - length), (0, 0))
+                 ).transpose(1, 2, 0)
+
+    kernel_alg = {"nlms": "nlms", "dd-lms": "lms", "cma": "cma",
+                  "rde": "rde", "da-rde": "da-rde"}[alg]
+    n_train = length if alg == "nlms" else 0
+    if alg == "cma":
+        aux = np.array([np.mean(np.abs(const_np) ** 4)
+                        / np.mean(np.abs(const_np) ** 2)], np.float32)
+    elif alg == "rde":
+        aux = np.unique(np.round(np.abs(const_np), 6)).astype(np.float32)
+    else:
+        aux = np.zeros(1, np.float32)
+    qam_grid = _square_qam_levels(const_np.real, const_np.imag)
+
+    # H (B, o, i, t) -> fused (o, B, width) with tap-major/mode-minor lanes
+    hf = jnp.transpose(H_b, (0, 1, 3, 2)).reshape(n_batch, n_modes, width)
+    hf = jnp.transpose(hf, (1, 0, 2))
+    out_re, out_im, h_re, h_im = _mimo_eq_run_batch_windows(
+        jnp.real(w).astype(jnp.float32), jnp.imag(w).astype(jnp.float32),
+        jnp.real(rp).astype(jnp.float32), jnp.imag(rp).astype(jnp.float32),
+        jnp.asarray(const_np.real), jnp.asarray(const_np.imag),
+        jnp.asarray(aux), jnp.real(hf), jnp.imag(hf),
+        n_modes, float(mu), int(n_train), block, kernel_alg, qam_grid,
+        jax.default_backend() == "cpu")
+    y = (out_re[:length] + 1j * out_im[:length]).transpose(2, 0, 1).astype(
+        jnp.complex64)  # (B, length, modes)
+    h = (h_re + 1j * h_im).transpose(1, 0, 2)  # (B, o, width)
+    H_new = jnp.transpose(
+        h.reshape(n_batch, n_modes, n_taps, n_modes),
+        (0, 1, 3, 2)).astype(jnp.complex64)
+
+    const = jnp.asarray(const_np)
+    if alg == "nlms":
+        err_sq = jnp.abs(ref - y) ** 2
+    elif alg == "dd-lms":
+        dec = const[jnp.argmin(
+            jnp.abs(y[..., None] - const[None, None, None, :]) ** 2,
+            axis=-1)]
+        err_sq = jnp.abs(dec - y) ** 2
+    elif alg == "cma":
+        err_sq = (float(aux[0]) - jnp.abs(y) ** 2) ** 2
+    elif alg == "rde":
+        radii = jnp.asarray(aux)
+        r = jnp.abs(y)
+        r_dec = radii[jnp.argmin(
+            jnp.abs(r[..., None] - radii[None, None, None, :]), axis=-1)]
+        err_sq = (r_dec ** 2 - r ** 2) ** 2
+    else:  # da-rde
+        err_sq = (jnp.abs(ref) ** 2 - jnp.abs(y) ** 2) ** 2
+    return y, H_new, err_sq
+
+
+def _adapt_eq_stage_pallas_rls_batch(sig_pad_b, symb_ref_b, H_b, Sd_b,
+                                     const_np, lam, alg, sps, n_taps,
+                                     n_start, length):
+    """One RLS / DD-RLS training stage for B signals on the batched kernel.
+
+    Batched counterpart of :func:`_adapt_eq_stage_pallas_rls`; taps AND
+    the per-mode inverse-correlation state chain per signal. Returns
+    (y (B, length, modes), H (B, o, i, t), Sd (B, i, T, T),
+    err_sq (B, length, modes)).
+    """
+    import jax
+
+    from opticommpy_tpu.kernels.bps_pallas import _square_qam_levels
+    from opticommpy_tpu.kernels.rls_pallas import _rls_run_windows
+
+    n_batch, _, n_modes = sig_pad_b.shape
+    block = 256
+    n_pad_sym = -(-length // block) * block
+    idx = ((n_start + np.arange(length))[:, None] * sps
+           + np.arange(n_taps)[None, :])
+    win = sig_pad_b[:, jnp.asarray(idx)]  # (B, length, taps, modes)
+    w = win.transpose(1, 0, 3, 2).reshape(length, n_batch * n_modes, n_taps)
+    w = jnp.pad(w, ((0, n_pad_sym - length), (0, 0), (0, 0)))
+    ref = symb_ref_b[:, n_start:n_start + length]  # (B, length, modes)
+    rp = jnp.pad(ref, ((0, 0), (0, n_pad_sym - length), (0, 0))
+                 ).transpose(1, 2, 0)
+
+    qam_grid = _square_qam_levels(const_np.real, const_np.imag)
+    hf = jnp.transpose(H_b, (1, 0, 2, 3)).reshape(
+        n_modes, n_batch * n_modes, n_taps)
+    sdf = Sd_b.reshape(n_batch * n_modes, n_taps, n_taps)
+    out_re, out_im, hr, hi, sdr, sdi = _rls_run_windows(
+        jnp.real(w).astype(jnp.float32), jnp.imag(w).astype(jnp.float32),
+        jnp.real(rp).astype(jnp.float32), jnp.imag(rp).astype(jnp.float32),
+        jnp.asarray(const_np.real), jnp.asarray(const_np.imag),
+        jnp.real(hf).astype(jnp.float32), jnp.imag(hf).astype(jnp.float32),
+        jnp.real(sdf).astype(jnp.float32),
+        jnp.imag(sdf).astype(jnp.float32),
+        n_modes, n_batch, length, float(lam), block, alg, qam_grid,
+        jax.default_backend() == "cpu")
+    y = (out_re[:length] + 1j * out_im[:length]).transpose(2, 0, 1).astype(
+        jnp.complex64)
+    H_new = jnp.transpose(
+        (hr + 1j * hi).reshape(n_modes, n_batch, n_modes, n_taps),
+        (1, 0, 2, 3)).astype(jnp.complex64)
+    Sd_new = (sdr + 1j * sdi).reshape(
+        n_batch, n_modes, n_taps, n_taps).astype(jnp.complex64)
+
+    const = jnp.asarray(const_np)
+    if alg == "rls":
+        err_sq = jnp.abs(ref - y) ** 2
+    else:  # dd-rls
+        dec = const[jnp.argmin(
+            jnp.abs(y[..., None] - const[None, None, None, :]) ** 2,
+            axis=-1)]
+        err_sq = jnp.abs(dec - y) ** 2
+    return y, H_new, Sd_new, err_sq
+
+
+def mimo_adapt_equalizer_batch(sig, config: MIMOEqualizerConfig = None,
+                               symb_ref=None, H=None, return_results=False):
+    """B signals' FULL multi-stage training schedules in one program.
+
+    Batched counterpart of :func:`mimo_adapt_equalizer` for the WDM
+    serving/training shape (reference semantics per signal: the reference
+    trains each channel's ``mimoAdaptEqualizer`` in a Python loop,
+    equalization.py:125): ``sig`` is ``(B, N, modes)``, ``symb_ref``
+    ``(B, nSym, modes)``; every signal runs the same per-stage schedule
+    independently, and each supported stage executes all B recurrences on
+    the sublane axis of ONE batched Pallas kernel pass
+    (``backend='pallas'``; unsupported stages — runWL, storeCoeff,
+    blockUpdate>1, non-square-QAM dd-rls — run as a vmapped scan, with
+    taps/state chaining through either way). ``backend='scan'`` runs the
+    whole schedule as vmapped scans (the reference-shaped path).
+
+    Returns the equalized symbols ``(B, nSym_out, modes)``, or
+    ``(sigOut, H (B,o,i,t), errSq (B, modes, nSym_out))`` when
+    ``return_results`` is True.
+    """
+    if config is None:
+        config = MIMOEqualizerConfig()
+    sig = jnp.asarray(sig)
+    if sig.ndim != 3:
+        raise ValueError("mimo_adapt_equalizer_batch expects (B, N, modes)")
+    if symb_ref is None:
+        symb_ref = sig
+    symb_ref = jnp.asarray(symb_ref)
+
+    n_batch, _, n_modes = sig.shape
+    n_taps = config.nTaps
+    sps = config.SpS
+    l_pad = n_taps // 2
+    sig_pad = jnp.pad(sig.astype(jnp.complex64),
+                      ((0, 0), (l_pad, l_pad + sps + n_taps), (0, 0)))
+
+    const_np = gray_mapping(config.M, config.constType)
+    px = symbol_pmf(config.M, config.constType,
+                    "maxwell-boltzmann" if config.shapingFactor else "uniform",
+                    config.shapingFactor)
+    const_np = (const_np / np.sqrt(np.sum(np.abs(const_np) ** 2 * px))
+                ).astype(np.complex64)
+    const = jnp.asarray(const_np)
+
+    total_symbols = int(np.fix((sig.shape[1] + 2 * l_pad - n_taps) / sps + 1))
+    stage_lengths = config.L if config.L is not None else (total_symbols,)
+    if any(l <= 0 for l in stage_lengths) or sum(stage_lengths) > total_symbols:
+        raise ValueError(
+            f"invalid stage lengths {tuple(stage_lengths)}: must be positive "
+            f"and sum to at most {total_symbols} output symbols"
+        )
+    algs = config.alg
+    mus = config.mu
+    if len(mus) == 1 and len(algs) > 1:
+        mus = mus * len(algs)
+
+    if H is None:
+        H = jnp.zeros((n_batch, n_modes, n_modes, n_taps),
+                      dtype=jnp.complex64)
+        H = H.at[:, jnp.arange(n_modes), jnp.arange(n_modes),
+                 n_taps // 2].set(1.0)
+    H_ = jnp.zeros_like(H)
+    Sd = jnp.tile(jnp.eye(n_taps, dtype=jnp.complex64),
+                  (n_batch, n_modes, 1, 1))
+
+    r_cma = jnp.asarray(np.float32(
+        np.mean(np.abs(const_np) ** 4) / np.mean(np.abs(const_np) ** 2)))
+    r_rde = jnp.asarray(np.unique(np.abs(const_np)).astype(np.float32))
+
+    from opticommpy_tpu.kernels.bps_pallas import _square_qam_levels
+
+    outs, errs = [], []
+    n_start = 0
+    for stage, alg in enumerate(algs):
+        length = int(stage_lengths[stage])
+        n_iter = config.numIter if stage == 0 else 1
+        k_block = config.blockUpdate
+        gates_ok = (config.backend == "pallas" and not config.runWL
+                    and not config.storeCoeff)
+        use_pallas = gates_ok and alg in _PALLAS_STAGE_ALGS and k_block == 1
+        use_pallas_rls = (
+            gates_ok and alg in ("rls", "dd-rls")
+            and (alg == "rls" or _square_qam_levels(
+                const_np.real, const_np.imag) is not None))
+        stage_slice = sig_pad[
+            :, n_start * sps : (n_start + length - 1) * sps + n_taps]
+        ref_slice = symb_ref[:, n_start : n_start + length]
+        use_blocked = (
+            k_block > 1
+            and alg not in ("rls", "dd-rls")
+            and not config.storeCoeff
+            and length >= k_block
+        )
+        for _ in range(n_iter):
+            if use_pallas:
+                sig_out, H, err_sq = _adapt_eq_stage_pallas_batch(
+                    sig_pad, symb_ref, H, const_np, float(mus[stage]),
+                    alg, sps, n_taps, n_start, length)
+            elif use_pallas_rls:
+                sig_out, H, Sd, err_sq = _adapt_eq_stage_pallas_rls_batch(
+                    sig_pad, symb_ref, H, Sd, const_np,
+                    float(config.lambdaRLS), alg, sps, n_taps, n_start,
+                    length)
+            elif use_blocked:
+                n_main = (length // k_block) * k_block
+
+                def run_blk(ss, rs, h, h_):
+                    return _adapt_eq_stage_blocked(
+                        ss, rs, h, h_, const, r_cma, r_rde,
+                        float(mus[stage]), alg, sps, n_taps, n_main,
+                        config.runWL, k_block)
+
+                sig_out, H, H_, err_sq = jax.vmap(run_blk)(
+                    stage_slice, ref_slice, H, H_)
+                if n_main < length:
+                    rem = length - n_main
+
+                    def run_rem(ss, rs, h, h_, sd):
+                        return _adapt_eq_stage(
+                            ss, rs, h, h_, sd, const, r_cma, r_rde,
+                            float(mus[stage]), float(config.lambdaRLS),
+                            alg, sps, n_taps, rem, config.runWL, False)
+
+                    so2, H, H_, Sd, es2, _ = jax.vmap(run_rem)(
+                        stage_slice[:, n_main * sps:], ref_slice[:, n_main:],
+                        H, H_, Sd)
+                    sig_out = jnp.concatenate([sig_out, so2], axis=1)
+                    err_sq = jnp.concatenate([err_sq, es2], axis=1)
+            else:
+
+                def run_scan(ss, rs, h, h_, sd):
+                    return _adapt_eq_stage(
+                        ss, rs, h, h_, sd, const, r_cma, r_rde,
+                        float(mus[stage]), float(config.lambdaRLS), alg,
+                        sps, n_taps, length, config.runWL, False)
+
+                sig_out, H, H_, Sd, err_sq, _ = jax.vmap(run_scan)(
+                    stage_slice, ref_slice, H, H_, Sd)
+        outs.append(sig_out)
+        errs.append(err_sq)
+        n_start += length
+
+    sig_out = jnp.concatenate(outs, axis=1)
+    err_sq = jnp.concatenate(errs, axis=1).transpose(0, 2, 1)
+    if return_results:
+        return sig_out, H, err_sq
+    return sig_out
 
 
 def mimo_adapt_equalizer(sig, config: MIMOEqualizerConfig = None, symb_ref=None,

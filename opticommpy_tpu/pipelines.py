@@ -227,6 +227,13 @@ def coherent_dsp_chain_batch(sig_batch, symb_ref_batch,
     the mode axis. Measured 4.4 Msym/s aggregate for 8 polmux signals on
     one v5e (22x the single-signal scan chain).
 
+    With ``config.eqBackend == "pallas"`` the equalizer instead runs the
+    FULL multi-stage training schedule (``config.alg``/``config.mu``,
+    numIter=2) per signal via
+    :func:`~opticommpy_tpu.dsp.equalization.mimo_adapt_equalizer_batch` —
+    every supported stage's B recurrences in one batched kernel pass,
+    bit-exact per signal vs the single-signal 'pallas' training path.
+
     Parameters
     ----------
     sig_batch : (B, N, modes) received signals at ``SpS_in`` samples/symbol.
@@ -263,10 +270,23 @@ def coherent_dsp_chain_batch(sig_batch, symb_ref_batch,
     const_np = (const_np / np.sqrt(np.mean(np.abs(const_np) ** 2))
                 ).astype(np.complex64)
     ref = jax.vmap(pnorm)(symb_ref_batch)
-    y, _ = mimo_eq_pallas_batch(
-        x, ref, const_np, alg="lms", n_taps=cfg.nTaps, sps=cfg.SpS_dsp,
-        mu=float(cfg.mu[-1]), n_train=cfg.nTrain, interpret=interp,
-    )  # (B, nSym, modes)
+    if cfg.eqBackend == "pallas":
+        # full multi-stage training schedule per signal, every supported
+        # stage on the BATCHED kernels (bit-exact per signal vs the
+        # single-signal mimo_adapt_equalizer 'pallas' path)
+        from opticommpy_tpu.dsp.equalization import mimo_adapt_equalizer_batch
+
+        n_sym_ref = ref.shape[1]
+        eq_cfg = MIMOEqualizerConfig(
+            nTaps=cfg.nTaps, SpS=cfg.SpS_dsp, mu=cfg.mu, alg=cfg.alg,
+            L=(cfg.nTrain, n_sym_ref - cfg.nTrain), M=cfg.M, numIter=2,
+            backend="pallas")
+        y = mimo_adapt_equalizer_batch(x, eq_cfg, symb_ref=ref)
+    else:
+        y, _ = mimo_eq_pallas_batch(
+            x, ref, const_np, alg="lms", n_taps=cfg.nTaps, sps=cfg.SpS_dsp,
+            mu=float(cfg.mu[-1]), n_train=cfg.nTrain, interpret=interp,
+        )  # (B, nSym, modes)
     b, n_sym, m = y.shape
     y_cols = jnp.moveaxis(y, 0, 1).reshape(n_sym, b * m)
     phases = bps_pallas(y_cols, cfg.cpr_window // 2, const_np,

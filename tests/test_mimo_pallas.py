@@ -381,6 +381,52 @@ def test_multistage_pallas_backend_matches_scan():
         assert np.abs(out["scan"][2] - out["pallas"][2]).max() < tol, algs
 
 
+def test_multistage_batch_matches_per_signal():
+    """mimo_adapt_equalizer_batch: B signals' full multi-stage schedules in
+    one program are BIT-EXACT vs per-signal mimo_adapt_equalizer runs, for
+    batched-kernel stages (gradient rules and rls/dd-rls), the vmapped
+    scan backend, and the blockUpdate fallback."""
+    from opticommpy_tpu.comm.modulation import gray_mapping
+    from opticommpy_tpu.dsp.equalization import mimo_adapt_equalizer_batch
+
+    rng = np.random.default_rng(7)
+    n_sym, M, B = 1500, 16, 3
+    const = gray_mapping(M, "qam")
+    const = const / np.sqrt(np.mean(np.abs(const) ** 2))
+    sigs, syms = [], []
+    for _ in range(B):
+        sym = const[rng.integers(0, M, size=(n_sym, 2))]
+        x = np.zeros((n_sym * 2, 2), complex)
+        x[::2] = sym
+        h = np.eye(2) + 0.1 * (rng.normal(size=(2, 2))
+                               + 1j * rng.normal(size=(2, 2)))
+        sigs.append(x @ h.T + 0.01 * (rng.normal(size=x.shape)
+                                      + 1j * rng.normal(size=x.shape)))
+        syms.append(sym)
+    sig_b = jnp.asarray(np.stack(sigs).astype(np.complex64))
+    sym_b = jnp.asarray(np.stack(syms).astype(np.complex64))
+
+    cases = [
+        (("nlms", "dd-lms"), (2e-3, 1e-3), "pallas", 1),
+        (("rls", "dd-rls"), (1e-3, 1e-3), "pallas", 1),
+        (("da-rde", "dd-lms"), (5e-3, 1e-3), "scan", 1),
+        (("dd-lms",), (2e-3,), "pallas", 64),  # blocked fallback
+    ]
+    for algs, mus, be, k_blk in cases:
+        L = (700, n_sym - 700) if len(algs) == 2 else None
+        cfg = MIMOEqualizerConfig(nTaps=9, SpS=2, mu=mus, alg=algs, L=L,
+                                  M=M, numIter=2, blockUpdate=k_blk,
+                                  backend=be)
+        yb, Hb, eb = mimo_adapt_equalizer_batch(
+            sig_b, cfg, symb_ref=sym_b, return_results=True)
+        for b in range(B):
+            y, H, _, es, _ = mimo_adapt_equalizer(
+                sig_b[b], cfg, symb_ref=sym_b[b], return_results=True)
+            assert np.array_equal(np.asarray(yb[b]), np.asarray(y)), (algs, b)
+            assert np.array_equal(np.asarray(Hb[b]), np.asarray(H)), (algs, b)
+            assert np.array_equal(np.asarray(eb[b]), np.asarray(es)), (algs, b)
+
+
 def test_multistage_pallas_unsupported_stage_falls_back():
     """A dd-rls stage over a NON-square constellation (8-PSK: no O(1)
     quantized slicer) inside a backend='pallas' schedule falls back to the
