@@ -498,6 +498,10 @@ def mimoAdaptEqualizer(sigIn, param=None, symbRef=None):
         constType=getattr(param, "constType", "qam"),
         M=getattr(param, "M", 4),
         shapingFactor=getattr(param, "shapingFactor", 0.0),
+        # TPU extension (not a reference param): param.backend = 'pallas'
+        # runs each supported training stage on the VMEM-resident kernel
+        blockUpdate=getattr(param, "blockUpdate", 1),
+        backend=getattr(param, "backend", "scan"),
     )
     return _eq.mimo_adapt_equalizer(
         sigIn, cfg, symb_ref=symbRef,
