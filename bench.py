@@ -438,31 +438,24 @@ def main():
     # the DSP chain runs FIRST: measuring it after the SSFM program costs it
     # ~15% (residual device state from the big propagation program); the
     # SSFM headline is order-insensitive (3.27M samples/s either way)
-    chain = None
-    try:
-        chain = round(run_dsp_chain(), 3)
-    except Exception:  # auxiliary metric must never break the headline
-        pass
-    train = None
-    try:
-        train = round(run_adaptive_train(), 3)
-    except Exception:
-        pass
-    fec_mbps = None
-    try:
-        fec_mbps = round(run_fec_decode(), 1)
-    except Exception:
-        pass
-    fec_mbps_512 = None
-    try:
-        fec_mbps_512 = round(run_fec_decode(batch=512), 1)
-    except Exception:
-        pass
-    fft_pair = fft_frac = None
-    try:
-        fft_pair, fft_frac = run_fft_roofline()
-    except Exception:
-        pass
+    def _aux(label, fn):
+        # auxiliary metrics must never break the headline, but a failure
+        # must be VISIBLE (round-4 lesson: a silent fallback masked the
+        # megakernel never running) — report it on stderr and omit the key
+        try:
+            return fn()
+        except Exception as e:
+            print(f"bench.py: auxiliary metric {label} failed: {e!r}",
+                  file=sys.stderr)
+            return None
+
+    chain = _aux("dsp_chain", lambda: round(run_dsp_chain(), 3))
+    train = _aux("adaptive_train", lambda: round(run_adaptive_train(), 3))
+    fec_mbps = _aux("fec_decode_b128", lambda: round(run_fec_decode(), 1))
+    fec_mbps_512 = _aux("fec_decode_b512",
+                        lambda: round(run_fec_decode(batch=512), 1))
+    _fft = _aux("fft_roofline", run_fft_roofline)
+    fft_pair, fft_frac = _fft if _fft is not None else (None, None)
     tpu_sps = run_tpu()
     base_sps = run_numpy_baseline()
     result = {

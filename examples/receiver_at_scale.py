@@ -7,7 +7,10 @@ coherent front end) and then recovers ALL of them with the two batch paths:
 1. **training** (`pipelines.coherent_dsp_chain_batch`): the LTI front end is
    vmapped per channel, every channel's adaptive-equalizer recurrence runs
    in ONE Pallas kernel pass, and carrier recovery is one lane-packed BPS
-   call — 4.4 Msym/s aggregate for 8 channels on one v5e.
+   call — 4.4 Msym/s aggregate for 8 channels on one v5e. (With
+   ``eqBackend='pallas'`` the equalizer instead runs each channel's FULL
+   multi-stage training schedule on the batched kernels,
+   ``dsp.mimo_adapt_equalizer_batch`` — 5.5 Msym/s aggregate at B=8.)
 2. **serving** (`pipelines.coherent_dsp_serve`): once taps have converged,
    the matched filter + CD compensation + normalization + MIMO apply
    collapse into one decimating frequency-domain filter per channel —
