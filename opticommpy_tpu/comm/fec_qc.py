@@ -403,8 +403,13 @@ def _make_fused_decoder(tb, max_iter, alg, msg_dtype, early_exit,
                 MEGA_VMEM_BUDGET, mega_state_bytes, qc_decode_mega)
 
             # explicit pre-check (not try/except): only a genuine budget
-            # overflow falls back; any other error in the megakernel raises
-            if mega_state_bytes(G, q, S, bt, mdt) <= MEGA_VMEM_BUDGET:
+            # overflow or lane-unaligned batch tile falls back; any other
+            # error in the megakernel raises. bt must be a multiple of 128:
+            # the megakernel's manual DMAs slice the lane axis at bt, and
+            # Mosaic rejects sub-tile lane slices on hardware (found by the
+            # B=64 coded receiver: interpret mode compiles, v5e does not)
+            if (mega_state_bytes(G, q, S, bt, mdt) <= MEGA_VMEM_BUDGET
+                    and bt % 128 == 0):
                 fT, fTp, stats = qc_decode_mega(
                     llr_info.reshape(nb, G * Z, bt),
                     llr_p.reshape(nb, q * Z, bt), pos_tab, sh_tab,

@@ -664,6 +664,12 @@ def mimo_adapt_equalizer_batch(sig, config: MIMOEqualizerConfig = None,
     taps/state chaining through either way). ``backend='scan'`` runs the
     whole schedule as vmapped scans (the reference-shaped path).
 
+    Per-signal outputs are bit-exact vs :func:`mimo_adapt_equalizer` for
+    gradient-rule stages at any mode count and for rls/dd-rls at 2 modes;
+    rls stages at n_modes > 2 match to f32 accumulation-order tolerance
+    (~1e-5: the RLS kernel's mode-mixing selector matmuls reduce over the
+    fused batch*mode sublane axis, so the sum order depends on B).
+
     Returns the equalized symbols ``(B, nSym_out, modes)``, or
     ``(sigOut, H (B,o,i,t), errSq (B, modes, nSym_out))`` when
     ``return_results`` is True.

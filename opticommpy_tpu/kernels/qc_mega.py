@@ -298,6 +298,14 @@ def qc_decode_mega(llr_i, llr_p, pos_tab, sh_tab, bsh_tab, G, K, *,
         raise MegaBudgetError(
             f"megakernel state {state/2**20:.1f} MB exceeds the ~100 MB "
             "VMEM budget; use the multi-kernel fused path")
+    if bt % 128:
+        # the manual HBM<->VMEM DMAs slice the lane axis at bt — Mosaic
+        # requires lane slices aligned to the (.,128) tiling; a bt<128
+        # batch tile compiles in interpret mode but fails on hardware
+        # ("Slice shape along dimension 2 must be aligned to tiling")
+        raise MegaBudgetError(
+            f"megakernel batch tile bt={bt} is not lane-aligned (128); "
+            "use the multi-kernel fused path")
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

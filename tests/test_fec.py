@@ -501,6 +501,26 @@ def test_qc_megakernel_matches_xla_path():
     b = float(jnp.mean(dec(llrs)[0]))
     assert abs(a - b) < 1e-5 * max(1.0, abs(a))
 
+
+def test_qc_megakernel_rejects_unaligned_batch_tile():
+    """qc_decode_mega refuses a batch tile not lane-aligned to 128: its
+    manual DMAs slice the lane axis at bt, which Mosaic only compiles for
+    multiples of the (., 128) tiling. Interpret mode cannot see this (the
+    B=64 coded receiver crashed on v5e while CPU tests passed), so the
+    precondition is checked explicitly and fec_qc routes such batches to
+    the multi-kernel fused path."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from opticommpy_tpu.kernels.qc_mega import MegaBudgetError, qc_decode_mega
+
+    llr_i = jnp.zeros((1, 4 * 360, 64), jnp.float32)
+    llr_p = jnp.zeros((1, 2 * 360, 64), jnp.float32)
+    pos = np.zeros((3, 2), np.int32)
+    sh = np.zeros((3, 2), np.int32)
+    with _pytest.raises(MegaBudgetError, match="lane-aligned"):
+        qc_decode_mega(llr_i, llr_p, pos, sh, sh, 4, 2, interpret=True)
+
 @pytest.mark.slow
 def test_qc_fused_corrects_errors_and_early_exit():
     """Fused decoder end-to-end: corrects AWGN errors on a real DVB-S2

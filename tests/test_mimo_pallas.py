@@ -427,6 +427,33 @@ def test_multistage_batch_matches_per_signal():
             assert np.array_equal(np.asarray(eb[b]), np.asarray(es)), (algs, b)
 
 
+def test_multistage_batch_4x4_matches_per_signal():
+    """The batched trainer at 4 modes (SDM shape) vs per-signal runs:
+    gradient-rule stages are bit-exact; rls stages match to f32
+    accumulation-order tolerance (the RLS kernel's mode-mixing selector
+    matmuls reduce over the fused batch*mode sublane axis, so the f32 sum
+    order depends on B once n_modes > 2 — measured ~1e-6..1e-5)."""
+    from opticommpy_tpu.dsp.equalization import mimo_adapt_equalizer_batch
+
+    B, n_sym = 2, 1200
+    sigs, syms = [], []
+    for b in range(B):
+        sig, symb = _qam_modes(jax.random.PRNGKey(30 + b), n_sym, n_modes=4)
+        sigs.append(np.asarray(sig))
+        syms.append(np.asarray(symb))
+    sig_b = jnp.asarray(np.stack(sigs))
+    sym_b = jnp.asarray(np.stack(syms))
+    for algs, tol in ((("nlms", "dd-lms"), 0.0), (("rls", "dd-lms"), 1e-4)):
+        cfg = MIMOEqualizerConfig(nTaps=7, SpS=2, mu=(1e-3, 1e-3),
+                                  alg=algs, L=(500, n_sym - 500),
+                                  M=16, backend="pallas")
+        yb = mimo_adapt_equalizer_batch(sig_b, cfg, symb_ref=sym_b)
+        for b in range(B):
+            y = mimo_adapt_equalizer(sig_b[b], cfg, symb_ref=sym_b[b])
+            d = float(jnp.abs(yb[b] - y).max())
+            assert d <= tol, (algs, b, d)
+
+
 def test_multistage_pallas_unsupported_stage_falls_back():
     """A dd-rls stage over a NON-square constellation (8-PSK: no O(1)
     quantized slicer) inside a backend='pallas' schedule falls back to the
