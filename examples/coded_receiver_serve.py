@@ -20,7 +20,7 @@ device profile: front end ~12 ms, LLR ~1 ms, decode ~15 ms. Pulling the
 time (measured 0.1-15 s depending on tunnel state) — the production pattern keeps decisions on device (or
 transfers packed bits); both timings are printed.
 
-Usage: python examples/coded_receiver_serve.py [--cpu]
+Usage: python examples/coded_receiver_serve.py [--cpu] [--signals N]
 """
 
 import os
@@ -34,6 +34,12 @@ if "--cpu" in sys.argv:
 
     jax.config.update("jax_platforms", "cpu")
     sys.argv.remove("--cpu")
+
+n_signals = 8
+if "--signals" in sys.argv:
+    i = sys.argv.index("--signals")
+    n_signals = int(sys.argv[i + 1])
+    del sys.argv[i : i + 2]
 
 import numpy as np
 
@@ -68,11 +74,13 @@ def main():
         n_code, k_code = 1944, 972
         B, n_sym = 1, 256
     else:
-        # DVB-S2 64800b R4/5: 8 polmux signals x 2^16 symbols = 64 codewords
+        # DVB-S2 64800b R4/5: B polmux signals x 2^16 symbols = 8B codewords
+        # (--signals 16 -> 128 codewords: a lane-aligned batch tile, so the
+        # decode stage runs the resident-totals megakernel)
         graph, edges = standard_ldpc("DVBS2", 64800, "4/5")
         enc = lambda b: encode_ldpc(b, edges=edges)
         n_code, k_code = 64800, 51840
-        B, n_sym = 8, 2**16
+        B, n_sym = n_signals, 2**16
     modes, bps = 2, 4  # polmux 16QAM
     nbits = n_sym * modes * bps
     ncw = nbits // n_code

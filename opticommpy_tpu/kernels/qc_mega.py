@@ -311,11 +311,11 @@ def qc_decode_mega(llr_i, llr_p, pos_tab, sh_tab, bsh_tab, G, K, *,
         num_scalar_prefetch=3,
         grid=(nb, K, q + 1),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # llr_i (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # llr_p (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),   # llr_i (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),   # llr_p (manual DMA)
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # M (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),   # M (manual DMA)
             pl.BlockSpec((1, GZ, bt),
                          lambda b, k, j, pos, sh, bsh: (b, 0, 0)),
             pl.BlockSpec((1, q * Z, bt),
