@@ -526,9 +526,11 @@ def _adapt_eq_stage_pallas_batch(sig_pad_b, symb_ref_b, H_b, const_np, mu,
     from opticommpy_tpu.kernels.bps_pallas import _square_qam_levels
     from opticommpy_tpu.kernels.mimo_pallas import _mimo_eq_run_batch_windows
 
+    from opticommpy_tpu.kernels._util import auto_block
+
     n_batch, _, n_modes = sig_pad_b.shape
     width = n_modes * n_taps
-    block = 256
+    block = auto_block(n_batch, width)  # scoped-VMEM cap (lane padding)
     n_pad_sym = -(-length // block) * block
     idx = ((n_start + np.arange(length))[:, None] * sps
            + np.arange(n_taps)[None, :])
@@ -604,8 +606,10 @@ def _adapt_eq_stage_pallas_rls_batch(sig_pad_b, symb_ref_b, H_b, Sd_b,
     from opticommpy_tpu.kernels.bps_pallas import _square_qam_levels
     from opticommpy_tpu.kernels.rls_pallas import _rls_run_windows
 
+    from opticommpy_tpu.kernels._util import auto_block
+
     n_batch, _, n_modes = sig_pad_b.shape
-    block = 256
+    block = auto_block(n_batch * n_modes, n_taps)  # scoped-VMEM cap
     n_pad_sym = -(-length // block) * block
     idx = ((n_start + np.arange(length))[:, None] * sps
            + np.arange(n_taps)[None, :])

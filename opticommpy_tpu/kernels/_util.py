@@ -4,7 +4,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["split_ri"]
+__all__ = ["auto_block", "split_ri"]
+
+
+def auto_block(sublanes, lane_dim, block=256, budget=6 * 2**20, floor=32):
+    """Cap a recurrence kernel's symbol-block size to fit scoped VMEM.
+
+    The double-buffered (block, sublanes, lane_dim) window inputs dominate
+    a batched recurrence kernel's scoped-VMEM footprint, and the lane axis
+    pads to 128 — so narrow widths do NOT save memory and a batch that
+    rides the sublane axis multiplies it (B=32 at block=256 blew the 16 MB
+    scoped limit in the batched MIMO trainer; lesson first learned with the
+    batched DFE). Halve ``block`` until one double-buffered f32 input pair
+    fits in ``budget`` bytes.
+    """
+    lanes = max(128, -(-lane_dim // 128) * 128)
+    per_row = sublanes * lanes * 4
+    b = block
+    while b > floor and b * per_row * 2 > budget:
+        b //= 2
+    return b
 
 
 @jax.jit

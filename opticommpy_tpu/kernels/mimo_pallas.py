@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from opticommpy_tpu.kernels._util import split_ri
+from opticommpy_tpu.kernels._util import auto_block, split_ri
 from opticommpy_tpu.kernels.bps_pallas import _square_qam_levels
 
 __all__ = ["mimo_lms_pallas", "mimo_eq_pallas", "mimo_eq_pallas_batch"]
@@ -584,6 +584,7 @@ def mimo_eq_pallas_batch(sig, symb_ref, const, alg="lms", n_taps=15, sps=2,
         aux = np.zeros(1, dtype=np.float32)
 
     qam_grid = _square_qam_levels(const.real, const.imag)
+    block = auto_block(n_batch, n_modes * n_taps, int(block))
     out_re, out_im, h_re, h_im = _mimo_eq_run_batch(
         sig_re, sig_im, ref_re, ref_im,
         jnp.asarray(const.real), jnp.asarray(const.imag), jnp.asarray(aux),

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from opticommpy_tpu.kernels._util import split_ri
+from opticommpy_tpu.kernels._util import auto_block, split_ri
 from opticommpy_tpu.kernels.bps_pallas import _square_qam_levels
 
 __all__ = ["mimo_rls_pallas", "mimo_rls_pallas_batch"]
@@ -496,6 +496,7 @@ def mimo_rls_pallas_batch(sig, symb_ref, const, alg="rls", n_taps=15, sps=2,
     if alg != "rls" and qam_grid is None:
         raise ValueError("batched dd-rls requires a square-QAM "
                          "constellation (quantized slicer)")
+    block = auto_block(n_batch * n_modes, n_taps, int(block))
     y_re, y_im, hr, hi, sdr, sdi = _rls_run_batch(
         sig_re, sig_im, ref_re, ref_im,
         jnp.asarray(const.real), jnp.asarray(const.imag),
