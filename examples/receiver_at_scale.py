@@ -29,6 +29,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 parser = argparse.ArgumentParser()
 parser.add_argument("--cpu", action="store_true", help="run on CPU")
 parser.add_argument("--channels", type=int, default=4)
+parser.add_argument("--eq", default="batch-lms",
+                    choices=("batch-lms", "pallas"),
+                    help="equalizer path: single-stage batched LMS kernel "
+                         "(default), or the full multi-stage training "
+                         "schedule on the batched kernels ('pallas')")
 args = parser.parse_args()
 if args.cpu:
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -100,7 +105,10 @@ def main():
     b = args.channels
     disc = 4000  # training + convergence region
     cfg = CoherentDSPConfig(SpS_in=8, nFilterTaps=512, L=50, nTrain=3000,
-                            mu=(2e-3,))
+                            mu=(2e-3,) if args.eq == "batch-lms"
+                            else (5e-3, 2e-3),
+                            eqBackend="pallas" if args.eq == "pallas"
+                            else "scan")
 
     @jax.jit
     def receive_all(sig_b_ri, ref_b_ri):
