@@ -211,11 +211,19 @@ def test_coherent_dsp_chain_batch_converges():
     cfg = CoherentDSPConfig(SpS_in=8, nFilterTaps=512, L=50, nTrain=3000,
                             mu=(2e-3,))
     y_b, _ = coherent_dsp_chain_batch(sig_b, ref_b, cfg)
+    # eqBackend='pallas': the full multi-stage schedule on the batched
+    # kernels (mimo_adapt_equalizer_batch) recovers the same links
+    cfg_ms = CoherentDSPConfig(SpS_in=8, nFilterTaps=512, L=50, nTrain=3000,
+                               mu=(5e-3, 2e-3), eqBackend="pallas")
+    y_ms, _ = coherent_dsp_chain_batch(sig_b, ref_b, cfg_ms)
     disc = 4000
     for i in range(2):
         ber, _, _ = fast_ber_calc(y_b[i, disc:-100], ref_b[i][disc:-100],
                                   16, "qam")
         assert float(jnp.max(ber)) < 1e-2, (i, np.asarray(ber))
+        ber_ms, _, _ = fast_ber_calc(y_ms[i, disc:-100], ref_b[i][disc:-100],
+                                     16, "qam")
+        assert float(jnp.max(ber_ms)) < 1e-2, (i, np.asarray(ber_ms))
 
 
 def test_coherent_coded_serve_end_to_end():
