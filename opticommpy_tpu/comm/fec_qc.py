@@ -350,9 +350,12 @@ def _make_fused_decoder(tb, max_iter, alg, msg_dtype, early_exit,
         import warnings
 
         warnings.warn(
-            "backend='mega' runs a fixed grid — early_exit is ignored "
-            "(outputs identical; wall time is max_iter, not convergence). "
-            "Use backend='fused' for the while_loop early exit.",
+            "backend='mega' runs a fixed grid — early_exit is ignored when "
+            "the megakernel runs (outputs identical; wall time is max_iter, "
+            "not convergence). Batches whose tile fails the VMEM/lane "
+            "pre-check fall back to the fused path, which DOES honor "
+            "early_exit. Use backend='fused' for a guaranteed while_loop "
+            "early exit.",
             stacklevel=3)
     alpha = 0.75 if alg == "NMSA" else None
     k, m, q, G, S = tb["k"], tb["m"], tb["q"], tb["G"], tb["S"]

@@ -390,6 +390,47 @@ def _adapt_eq_stage_blocked(
 
 _PALLAS_STAGE_ALGS = ("nlms", "dd-lms", "cma", "rde", "da-rde")
 
+# training-stage alg -> mimo kernel rule ('dd-lms' is the kernel's 'lms'
+# with n_train=0, i.e. decision-directed from the first symbol)
+_PALLAS_KERNEL_ALG = {"nlms": "nlms", "dd-lms": "lms", "cma": "cma",
+                      "rde": "rde", "da-rde": "da-rde"}
+
+
+def _pallas_stage_aux(alg, const_np):
+    """The kernel's rule-specific aux vector (CMA radius / RDE radii)."""
+    if alg == "cma":
+        return np.array([np.mean(np.abs(const_np) ** 4)
+                         / np.mean(np.abs(const_np) ** 2)], np.float32)
+    if alg == "rde":
+        return np.unique(np.round(np.abs(const_np), 6)).astype(np.float32)
+    return np.zeros(1, np.float32)
+
+
+def _pallas_stage_err_sq(alg, y, ref, const_np, aux):
+    """Elementwise err_sq recomputed from the kernel outputs — the same
+    formulas as the scan rules (:func:`_make_update`); broadcast-safe for
+    single (length, modes) and batched (B, length, modes) outputs."""
+    const = jnp.asarray(const_np)
+    bcast = (1,) * y.ndim
+    if alg in ("nlms", "rls"):
+        return jnp.abs(ref - y) ** 2
+    if alg in ("dd-lms", "dd-rls"):
+        dec = const[jnp.argmin(
+            jnp.abs(y[..., None] - const.reshape(bcast + (-1,))) ** 2,
+            axis=-1)]
+        return jnp.abs(dec - y) ** 2
+    if alg == "cma":
+        return (float(aux[0]) - jnp.abs(y) ** 2) ** 2
+    if alg == "rde":
+        radii = jnp.asarray(aux)
+        r = jnp.abs(y)
+        r_dec = radii[jnp.argmin(
+            jnp.abs(r[..., None] - radii.reshape(bcast + (-1,))), axis=-1)]
+        return (r_dec ** 2 - r ** 2) ** 2
+    if alg == "da-rde":
+        return (jnp.abs(ref) ** 2 - jnp.abs(y) ** 2) ** 2
+    raise ValueError(f"unsupported pallas stage alg {alg!r}")
+
 
 def _adapt_eq_stage_pallas_rls(sig_pad, symb_ref, H, Sd, const_np, lam,
                                alg, sps, n_taps, n_start, length):
@@ -432,14 +473,8 @@ def _adapt_eq_stage_pallas_rls(sig_pad, symb_ref, H, Sd, const_np, lam,
     H_new = (hr + 1j * hi).astype(jnp.complex64)
     Sd_new = (sdr + 1j * sdi).astype(jnp.complex64)
 
-    const = jnp.asarray(const_np)
-    if alg == "rls":
-        err_sq = jnp.abs(ref - y) ** 2
-    else:  # dd-rls
-        dec = const[jnp.argmin(
-            jnp.abs(y[..., None] - const[None, None, :]) ** 2, axis=-1)]
-        err_sq = jnp.abs(dec - y) ** 2
-    return y, H_new, Sd_new, err_sq
+    return (y, H_new, Sd_new,
+            _pallas_stage_err_sq(alg, y, ref, const_np, None))
 
 
 def _adapt_eq_stage_pallas(sig_pad, symb_ref, H, const_np, mu, alg, sps,
@@ -467,16 +502,9 @@ def _adapt_eq_stage_pallas(sig_pad, symb_ref, H, const_np, mu, alg, sps,
     w = win.reshape(length, width)
     ref = symb_ref[n_start:n_start + length]
 
-    kernel_alg = {"nlms": "nlms", "dd-lms": "lms", "cma": "cma",
-                  "rde": "rde", "da-rde": "da-rde"}[alg]
+    kernel_alg = _PALLAS_KERNEL_ALG[alg]
     n_train = length if alg == "nlms" else 0
-    if alg == "cma":
-        aux = np.array([np.mean(np.abs(const_np) ** 4)
-                        / np.mean(np.abs(const_np) ** 2)], np.float32)
-    elif alg == "rde":
-        aux = np.unique(np.round(np.abs(const_np), 6)).astype(np.float32)
-    else:
-        aux = np.zeros(1, np.float32)
+    aux = _pallas_stage_aux(alg, const_np)
     qam_grid = _square_qam_levels(const_np.real, const_np.imag)
 
     h_flat = jnp.transpose(H, (0, 2, 1)).reshape(n_modes, width)
@@ -491,24 +519,7 @@ def _adapt_eq_stage_pallas(sig_pad, symb_ref, H, const_np, mu, alg, sps,
     H_new = (h_re + 1j * h_im).reshape(n_modes, n_taps, n_modes)
     H_new = jnp.transpose(H_new, (0, 2, 1)).astype(jnp.complex64)
 
-    const = jnp.asarray(const_np)
-    if alg == "nlms":
-        err_sq = jnp.abs(ref - y) ** 2
-    elif alg == "dd-lms":
-        dec = const[jnp.argmin(
-            jnp.abs(y[..., None] - const[None, None, :]) ** 2, axis=-1)]
-        err_sq = jnp.abs(dec - y) ** 2
-    elif alg == "cma":
-        err_sq = (float(aux[0]) - jnp.abs(y) ** 2) ** 2
-    elif alg == "rde":
-        radii = jnp.asarray(aux)
-        r = jnp.abs(y)
-        r_dec = radii[jnp.argmin(
-            jnp.abs(r[..., None] - radii[None, None, :]), axis=-1)]
-        err_sq = (r_dec ** 2 - r ** 2) ** 2
-    else:  # da-rde
-        err_sq = (jnp.abs(ref) ** 2 - jnp.abs(y) ** 2) ** 2
-    return y, H_new, err_sq
+    return y, H_new, _pallas_stage_err_sq(alg, y, ref, const_np, aux)
 
 
 def _adapt_eq_stage_pallas_batch(sig_pad_b, symb_ref_b, H_b, const_np, mu,
@@ -541,16 +552,9 @@ def _adapt_eq_stage_pallas_batch(sig_pad_b, symb_ref_b, H_b, const_np, mu,
     rp = jnp.pad(ref, ((0, 0), (0, n_pad_sym - length), (0, 0))
                  ).transpose(1, 2, 0)
 
-    kernel_alg = {"nlms": "nlms", "dd-lms": "lms", "cma": "cma",
-                  "rde": "rde", "da-rde": "da-rde"}[alg]
+    kernel_alg = _PALLAS_KERNEL_ALG[alg]
     n_train = length if alg == "nlms" else 0
-    if alg == "cma":
-        aux = np.array([np.mean(np.abs(const_np) ** 4)
-                        / np.mean(np.abs(const_np) ** 2)], np.float32)
-    elif alg == "rde":
-        aux = np.unique(np.round(np.abs(const_np), 6)).astype(np.float32)
-    else:
-        aux = np.zeros(1, np.float32)
+    aux = _pallas_stage_aux(alg, const_np)
     qam_grid = _square_qam_levels(const_np.real, const_np.imag)
 
     # H (B, o, i, t) -> fused (o, B, width) with tap-major/mode-minor lanes
@@ -570,25 +574,7 @@ def _adapt_eq_stage_pallas_batch(sig_pad_b, symb_ref_b, H_b, const_np, mu,
         h.reshape(n_batch, n_modes, n_taps, n_modes),
         (0, 1, 3, 2)).astype(jnp.complex64)
 
-    const = jnp.asarray(const_np)
-    if alg == "nlms":
-        err_sq = jnp.abs(ref - y) ** 2
-    elif alg == "dd-lms":
-        dec = const[jnp.argmin(
-            jnp.abs(y[..., None] - const[None, None, None, :]) ** 2,
-            axis=-1)]
-        err_sq = jnp.abs(dec - y) ** 2
-    elif alg == "cma":
-        err_sq = (float(aux[0]) - jnp.abs(y) ** 2) ** 2
-    elif alg == "rde":
-        radii = jnp.asarray(aux)
-        r = jnp.abs(y)
-        r_dec = radii[jnp.argmin(
-            jnp.abs(r[..., None] - radii[None, None, None, :]), axis=-1)]
-        err_sq = (r_dec ** 2 - r ** 2) ** 2
-    else:  # da-rde
-        err_sq = (jnp.abs(ref) ** 2 - jnp.abs(y) ** 2) ** 2
-    return y, H_new, err_sq
+    return y, H_new, _pallas_stage_err_sq(alg, y, ref, const_np, aux)
 
 
 def _adapt_eq_stage_pallas_rls_batch(sig_pad_b, symb_ref_b, H_b, Sd_b,
@@ -641,15 +627,8 @@ def _adapt_eq_stage_pallas_rls_batch(sig_pad_b, symb_ref_b, H_b, Sd_b,
     Sd_new = (sdr + 1j * sdi).reshape(
         n_batch, n_modes, n_taps, n_taps).astype(jnp.complex64)
 
-    const = jnp.asarray(const_np)
-    if alg == "rls":
-        err_sq = jnp.abs(ref - y) ** 2
-    else:  # dd-rls
-        dec = const[jnp.argmin(
-            jnp.abs(y[..., None] - const[None, None, None, :]) ** 2,
-            axis=-1)]
-        err_sq = jnp.abs(dec - y) ** 2
-    return y, H_new, Sd_new, err_sq
+    return (y, H_new, Sd_new,
+            _pallas_stage_err_sq(alg, y, ref, const_np, None))
 
 
 def mimo_adapt_equalizer_batch(sig, config: MIMOEqualizerConfig = None,
@@ -663,10 +642,12 @@ def mimo_adapt_equalizer_batch(sig, config: MIMOEqualizerConfig = None,
     ``(B, nSym, modes)``; every signal runs the same per-stage schedule
     independently, and each supported stage executes all B recurrences on
     the sublane axis of ONE batched Pallas kernel pass
-    (``backend='pallas'``; unsupported stages — runWL, storeCoeff,
-    blockUpdate>1, non-square-QAM dd-rls — run as a vmapped scan, with
-    taps/state chaining through either way). ``backend='scan'`` runs the
-    whole schedule as vmapped scans (the reference-shaped path).
+    (``backend='pallas'``; unsupported stages — runWL, blockUpdate>1,
+    non-square-QAM dd-rls — run as a vmapped scan, with taps/state
+    chaining through either way). ``backend='scan'`` runs the whole
+    schedule as vmapped scans (the reference-shaped path).
+    ``storeCoeff`` is rejected (no per-symbol coefficient-history return
+    in the batch API).
 
     Per-signal outputs are bit-exact vs :func:`mimo_adapt_equalizer` for
     gradient-rule stages at any mode count and for rls/dd-rls at 2 modes;
@@ -680,6 +661,11 @@ def mimo_adapt_equalizer_batch(sig, config: MIMOEqualizerConfig = None,
     """
     if config is None:
         config = MIMOEqualizerConfig()
+    if config.storeCoeff:
+        raise ValueError(
+            "storeCoeff is not supported by mimo_adapt_equalizer_batch "
+            "(there is no per-symbol h_iter return in the batch API); use "
+            "mimo_adapt_equalizer per signal to record coefficient history")
     sig = jnp.asarray(sig)
     if sig.ndim != 3:
         raise ValueError("mimo_adapt_equalizer_batch expects (B, N, modes)")

@@ -7,7 +7,7 @@ import numpy as np
 __all__ = ["auto_block", "split_ri"]
 
 
-def auto_block(sublanes, lane_dim, block=256, budget=6 * 2**20, floor=32):
+def auto_block(sublanes, lane_dim, block=256, budget=12 * 2**20, floor=32):
     """Cap a recurrence kernel's symbol-block size to fit scoped VMEM.
 
     The double-buffered (block, sublanes, lane_dim) window inputs dominate
@@ -15,13 +15,15 @@ def auto_block(sublanes, lane_dim, block=256, budget=6 * 2**20, floor=32):
     pads to 128 — so narrow widths do NOT save memory and a batch that
     rides the sublane axis multiplies it (B=32 at block=256 blew the 16 MB
     scoped limit in the batched MIMO trainer; lesson first learned with the
-    batched DFE). Halve ``block`` until one double-buffered f32 input pair
-    fits in ``budget`` bytes.
+    batched DFE). Halve ``block`` until the re+im window pair, double
+    buffered (4 f32 buffers of block*sublanes*lanes), fits in ``budget``
+    bytes — 12 MB leaves ~4 MB of the 16 MB scoped limit for refs,
+    outputs, and state scratch.
     """
     lanes = max(128, -(-lane_dim // 128) * 128)
     per_row = sublanes * lanes * 4
     b = block
-    while b > floor and b * per_row * 2 > budget:
+    while b > floor and b * per_row * 4 > budget:
         b //= 2
     return b
 

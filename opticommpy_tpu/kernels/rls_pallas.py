@@ -417,9 +417,13 @@ def _rls_run_batch(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
         xp = jnp.pad(x, ((0, 0),
                          (l_pad, l_pad + sps + n_taps + n_pad_sym * sps
                           - x.shape[1]), (0, 0)))
-        idx = np.arange(n_pad_sym)[:, None] * sps + np.arange(n_taps)[None, :]
-        w = xp[:, jnp.asarray(idx)]  # (B, n_pad_sym, taps, modes)
-        return w.transpose(1, 0, 3, 2).reshape(n_pad_sym, BM, n_taps)
+        # gather only the n_sym live rows (the kernel masks updates past
+        # n_sym, but phantom real-tail windows would still corrupt the
+        # stored outputs' padding region; zero rows are cheap and exact)
+        idx = np.arange(n_sym)[:, None] * sps + np.arange(n_taps)[None, :]
+        w = xp[:, jnp.asarray(idx)]  # (B, n_sym, taps, modes)
+        w = w.transpose(1, 0, 3, 2).reshape(n_sym, BM, n_taps)
+        return jnp.pad(w, ((0, n_pad_sym - n_sym), (0, 0), (0, 0)))
 
     w_re = windows(sig_re)
     w_im = windows(sig_im)
