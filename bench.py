@@ -176,7 +176,7 @@ def run_dsp_chain(batch=8):
 
     import bench_dsp
 
-    _, _, _, _, fused_batch, _, sig, h0 = bench_dsp.build_chain()
+    _, _, _, _, fused_batch, _, sig, h0, _ = bench_dsp.build_chain()
     sig_b = jnp.broadcast_to(sig, (batch,) + sig.shape)
     h_b = jnp.broadcast_to(h0, (batch,) + h0.shape)
 
