@@ -379,7 +379,17 @@ def theory_mi(M, const_type, snr_db, px=None, symmetry=True, lim=np.inf, tol=1e-
 
 def gn_model_nyquist_wdm(rs, n_ch, df, alpha_db, gamma_, l_span, n_spans,
                          ptx_dbm, disp, b_ref, fc):
-    """GN-model NLIN variance for Nyquist-WDM (metrics.py:851, Poggiolini 2012)."""
+    """GN-model NLIN variance for Nyquist-WDM (metrics.py:851, Poggiolini 2012).
+
+    Parity note (carried KNOWINGLY from the reference, not ground truth):
+    the reference's own code flags its trailing "multiplication by two"
+    as questionable ("is this correct?", metrics.py:894-897) yet ships it;
+    it also uses inconsistent Nch exponents between the two arcsinh terms
+    — ``Nch**(2*Rs/df)`` in var_NLI vs ``(Nch**2)**(2*Rs/df)`` in epsilon
+    (Poggiolini 2012 eq. (13)/(23) use Nch**2 inside both log/arcsinh
+    forms). Both quirks are reproduced verbatim here so predictions match
+    the reference bit-for-bit; fix them upstream-first if ever corrected.
+    """
     lam = sconst.c / fc * 1e-3  # km
     c_kms = sconst.c / 1.5 * 1e-3
     alpha = alpha_db / (10 * np.log10(np.exp(1)))

@@ -21,7 +21,12 @@ def auto_block(sublanes, lane_dim, block=256, budget=12 * 2**20, floor=32):
     outputs, and state scratch.
     """
     lanes = max(128, -(-lane_dim // 128) * 128)
-    per_row = sublanes * lanes * 4
+    # sublanes pad to the 8-row f32 tile just like lanes pad to 128; a
+    # 2-sublane window really occupies 8 rows of VMEM (modeling the raw
+    # count under-estimates the footprint up to 8x — same hardware-vs-
+    # interpret blindness class as lane-slice legality)
+    sub_rows = max(8, -(-sublanes // 8) * 8)
+    per_row = sub_rows * lanes * 4
     b = block
     while b > floor and b * per_row * 4 > budget:
         b //= 2

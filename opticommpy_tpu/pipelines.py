@@ -77,6 +77,27 @@ class CoherentDSPConfig:
     runFOE: bool = True
 
 
+def _stage_lengths(cfg: CoherentDSPConfig, n_sym: int):
+    """Per-stage symbol counts for the chain's training schedule.
+
+    ``CoherentDSPConfig`` exposes a single ``nTrain`` split, so the chain
+    supports 1-stage (all symbols) and 2-stage (nTrain, rest) ``alg``
+    tuples; longer schedules need an explicit
+    :class:`~opticommpy_tpu.dsp.equalization.MIMOEqualizerConfig` via
+    ``mimo_adapt_equalizer`` directly.
+    """
+    n_stages = len(cfg.alg)
+    if n_stages == 1:
+        return (n_sym,)
+    if n_stages == 2:
+        return (cfg.nTrain, n_sym - cfg.nTrain)
+    raise ValueError(
+        f"CoherentDSPConfig.alg has {n_stages} stages; the chain's "
+        "nTrain split only defines schedules for 1 or 2 stages — build a "
+        "MIMOEqualizerConfig with an explicit L tuple and call "
+        "mimo_adapt_equalizer directly for longer schedules")
+
+
 def coherent_dsp_chain(sig, symb_ref, config: CoherentDSPConfig = CoherentDSPConfig()):
     """Full coherent DSP chain as one traceable function.
 
@@ -121,7 +142,7 @@ def coherent_dsp_chain(sig, symb_ref, config: CoherentDSPConfig = CoherentDSPCon
     else:
         eq_cfg = MIMOEqualizerConfig(
             nTaps=cfg.nTaps, SpS=cfg.SpS_dsp, mu=cfg.mu, alg=cfg.alg,
-            L=(cfg.nTrain, n_sym - cfg.nTrain), M=cfg.M, numIter=2,
+            L=_stage_lengths(cfg, n_sym), M=cfg.M, numIter=2,
             blockUpdate=cfg.blockUpdate,
             backend="pallas" if cfg.eqBackend == "pallas" else "scan",
         )
@@ -279,8 +300,8 @@ def coherent_dsp_chain_batch(sig_batch, symb_ref_batch,
         n_sym_ref = ref.shape[1]
         eq_cfg = MIMOEqualizerConfig(
             nTaps=cfg.nTaps, SpS=cfg.SpS_dsp, mu=cfg.mu, alg=cfg.alg,
-            L=(cfg.nTrain, n_sym_ref - cfg.nTrain), M=cfg.M, numIter=2,
-            backend="pallas")
+            L=_stage_lengths(cfg, n_sym_ref), M=cfg.M, numIter=2,
+            blockUpdate=cfg.blockUpdate, backend="pallas")
         y = mimo_adapt_equalizer_batch(x, eq_cfg, symb_ref=ref)
     else:
         y, _ = mimo_eq_pallas_batch(

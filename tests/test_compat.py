@@ -241,3 +241,8 @@ def test_gn_model_compat_wrappers():
     var_nli = optic.GN_Model_NyquistWDM(32e9, 11, 37.5e9, 0.2, 1.3, 50, 16,
                                         0.0, 16, 12.5e9, 193.1e12)
     assert var_nli > 0
+    # NOTE: the value intentionally includes the reference's own flagged
+    # factor-2 and its Nch-exponent asymmetry between var_NLI and epsilon
+    # (ref metrics.py:894-897 "is this correct?"); see the
+    # gn_model_nyquist_wdm docstring. This pin asserts reference parity,
+    # not textbook GN-model correctness.

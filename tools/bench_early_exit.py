@@ -1,0 +1,112 @@
+"""DVB-S2 early-exit decode throughput at serving SNR (VERDICT r4 item 1).
+
+The reference decoder's *default* serving behavior is to break out of the
+iteration loop on parity success (/root/reference/optic/comm/fec.py:494-497,
+used by decodeLDPC at :735-741). Here the accelerator default has been the
+fixed-grid megakernel; every benchmarked number was fixed-20-iteration. This
+probe measures what the reference's semantics buy at realistic operating
+points: Es/N0 = waterfall knee (1.9 dB, FER 0.073) + 0.2 / 0.4 / 0.8 dB,
+R4/5 64800b NMSA-20 bf16, real encoded codewords over BPSK/AWGN.
+
+Compares, per (Es/N0, B):
+  - mega  : fixed-20 resident-totals megakernel (round-4 default)
+  - fused : fixed-20 fused Pallas iteration
+  - early : fused + early_exit=True (while_loop, stops when the whole
+            batch has converged — wall time tracks the SLOWEST codeword)
+
+Run on TPU:  timeout 3000 python -u tools/bench_early_exit.py 2>&1 | \
+             grep --line-buffered -v "Platform 'axon'"
+Debug on CPU: python tools/bench_early_exit.py --cpu  (interpret mode, slow)
+"""
+
+import json
+import os
+import sys
+import time
+
+if "--cpu" in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.argv.remove("--cpu")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from opticommpy_tpu.comm import fec_qc  # noqa: E402
+from opticommpy_tpu.comm.fec import encode_ldpc, standard_ldpc  # noqa: E402
+
+N, R, K = 64800, "4/5", 51840
+SNRS = (2.1, 2.3, 2.7)
+BATCHES = (128, 512)
+
+
+def make_llrs(snr_db, B, rng, edges):
+    sigma = np.sqrt(0.5 * 10 ** (-snr_db / 10))
+    bits = rng.integers(0, 2, size=(K, B)).astype(np.int8)
+    cw = np.asarray(encode_ldpc(jnp.asarray(bits), edges=edges))
+    y = (1 - 2.0 * cw) + sigma * rng.normal(size=cw.shape)
+    return jnp.asarray((2 * y / sigma**2).astype(np.float32)), cw
+
+
+def timed_decode(dec, llrs):
+    def run():
+        out, iters, fail = dec(llrs)
+        # scalar-reduce on device; one tiny transfer forces execution
+        s = float(jnp.sum(out * 0) + jnp.sum(iters) + jnp.sum(fail))
+        return s
+
+    run()  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    out, iters, fail = dec(llrs)
+    return (min(times), np.asarray(iters), np.asarray(fail),
+            np.asarray(out, np.float32))
+
+
+def main():
+    _, edges = standard_ldpc("DVBS2", N, R)
+    rng = np.random.default_rng(7)
+    results = []
+    decs = {
+        "mega": fec_qc.make_qc_decoder(N, R, 20, "NMSA", "bf16",
+                                       backend="mega"),
+        "fused": fec_qc.make_qc_decoder(N, R, 20, "NMSA", "bf16",
+                                        backend="fused"),
+        "early": fec_qc.make_qc_decoder(N, R, 20, "NMSA", "bf16",
+                                        early_exit=True, backend="fused"),
+    }
+    for B in BATCHES:
+        for snr in SNRS:
+            llrs, cw = make_llrs(snr, B, rng, edges)
+            row = {"B": B, "esn0_db": snr}
+            ref_bits = None
+            for name, dec in decs.items():
+                dt, iters, fail, out = timed_decode(dec, llrs)
+                bits = (out < 0).astype(np.int8)
+                fer = float((bits != cw).any(axis=0).mean())
+                row[f"{name}_Mbit_per_s"] = round(N * B / dt / 1e6, 1)
+                row[f"{name}_ms"] = round(dt * 1e3, 2)
+                row[f"{name}_iters_mean"] = round(float(iters.mean()), 2)
+                row[f"{name}_iters_max"] = int(iters.max())
+                row[f"{name}_fer"] = fer
+                if ref_bits is None:
+                    ref_bits = bits
+                else:
+                    row[f"{name}_bits_match"] = bool(
+                        np.array_equal(bits, ref_bits))
+            print(json.dumps(row), flush=True)
+            results.append(row)
+    return results
+
+
+if __name__ == "__main__":
+    main()
