@@ -165,19 +165,23 @@ def make_qc_decoder(n, R, max_iter, alg="MSA", msg_dtype="f32",
     storage dtype of the message carry (math always f32), as in
     :func:`fec._bp_decode_bucketed`.
 
-    ``early_exit=True`` runs the iteration as a ``while_loop`` that stops
-    as soon as EVERY codeword in the batch has converged — identical
+    ``early_exit=True`` stops iterating at convergence — identical
     outputs (per-codeword results are frozen at their own convergence
     either way), but wall time tracks the slowest codeword instead of
-    ``max_iter``. Keep False when benchmarking fixed-iteration throughput.
+    ``max_iter`` (the reference decoder's default serving behavior,
+    fec.py:494-497). On the megakernel the exit is a per-chunk grid SKIP
+    (each bt-codeword tile stops at its own slowest codeword); on the
+    other backends it is a ``while_loop`` over the whole batch. Keep
+    False when benchmarking fixed-iteration throughput.
 
     ``backend``: 'mega' = whole decode in one resident-totals Pallas
-    kernel (kernels/qc_mega.py — fastest, no early exit); 'fused' = the
-    round-3 fully-fused Pallas iteration (kernels/qc_pallas.py — X never
-    materialized, rolls as in-VMEM dynamic rotates); 'pallas' = XLA rolls
-    + Pallas check update; 'xla' = pure XLA; 'auto' = 'mega' for MSA/NMSA
-    on accelerators ('fused' when early_exit is requested or the config
-    exceeds the megakernel's VMEM budget), 'xla' on CPU.
+    kernel (kernels/qc_mega.py — fastest; early exit as per-chunk skip);
+    'fused' = the round-3 fully-fused Pallas iteration (kernels/
+    qc_pallas.py — X never materialized, rolls as in-VMEM dynamic
+    rotates); 'pallas' = XLA rolls + Pallas check update; 'xla' = pure
+    XLA; 'auto' = 'mega' for MSA/NMSA on accelerators ('fused' when the
+    config exceeds the megakernel's VMEM/lane-alignment budget), 'xla'
+    on CPU.
     """
     tb = qc_tables(R, n)
     k, m, q, G, S = tb["k"], tb["m"], tb["q"], tb["G"], tb["S"]
@@ -189,17 +193,18 @@ def make_qc_decoder(n, R, max_iter, alg="MSA", msg_dtype="f32",
         backend == "auto" and alg in ("MSA", "NMSA") and on_accel)
     if use_fused:
         # 'mega' = whole decode in one resident-totals kernel
-        # (kernels/qc_mega.py; no early exit — the grid is fixed).
-        # Round-4 re-measurement (after fixing the aliased-M feedback that
-        # silently fell back in round 3): sign-exact vs 'fused' at every
-        # rate, and FASTER — v5e NMSA-20 bf16 R4/5: +11% at B=128, +24%
-        # at B=256, +46% at B=512 (357 vs 245 Mbit/s); R9/10 +10%, R1/4
-        # parity. The totals traffic DOES matter at batch. 'auto' now
-        # prefers mega on accelerators unless early_exit is requested
-        # (the fixed grid can't stop early) or the VMEM budget check in
-        # qc_decode_mega routes an oversized config back to multi-kernel.
-        want_mega = backend == "mega" or (
-            backend == "auto" and on_accel and not early_exit)
+        # (kernels/qc_mega.py). Round-4 re-measurement (after fixing the
+        # aliased-M feedback that silently fell back in round 3):
+        # sign-exact vs 'fused' at every rate, and FASTER — v5e NMSA-20
+        # bf16 R4/5: +11% at B=128, +24% at B=256, +46% at B=512 (357 vs
+        # 245 Mbit/s); R9/10 +10%, R1/4 parity. The totals traffic DOES
+        # matter at batch. Round 5 added the per-chunk early-exit skip,
+        # so 'auto' prefers mega on accelerators for early_exit too
+        # (measured at serving SNR: the fused while_loop never catches
+        # the fixed-20 mega at B=512 — 300-399 vs 436 Mbit/s — while
+        # mega+skip keeps the resident-totals speed AND stops early);
+        # only the VMEM/lane-alignment budget routes back to multi-kernel.
+        want_mega = backend == "mega" or (backend == "auto" and on_accel)
         return _make_fused_decoder(tb, max_iter, alg, msg_dtype,
                                    early_exit, want_mega)
     # ``backend``: 'pallas' fuses the check update into one VMEM-resident
@@ -346,17 +351,6 @@ def _make_fused_decoder(tb, max_iter, alg, msg_dtype, early_exit,
 
     if alg not in ("MSA", "NMSA"):
         raise ValueError("fused QC decoder supports MSA/NMSA only")
-    if want_mega and early_exit:
-        import warnings
-
-        warnings.warn(
-            "backend='mega' runs a fixed grid — early_exit is ignored when "
-            "the megakernel runs (outputs identical; wall time is max_iter, "
-            "not convergence). Batches whose tile fails the VMEM/lane "
-            "pre-check fall back to the fused path, which DOES honor "
-            "early_exit. Use backend='fused' for a guaranteed while_loop "
-            "early exit.",
-            stacklevel=3)
     alpha = 0.75 if alg == "NMSA" else None
     k, m, q, G, S = tb["k"], tb["m"], tb["q"], tb["G"], tb["S"]
     g_tab, s_tab = tb["g_tab"], tb["s_tab"]
@@ -417,7 +411,7 @@ def _make_fused_decoder(tb, max_iter, alg, msg_dtype, early_exit,
                     llr_info.reshape(nb, G * Z, bt),
                     llr_p.reshape(nb, q * Z, bt), pos_tab, sh_tab,
                     bsh_tab, G, K, msg_dtype=mdt, alpha=alpha,
-                    interpret=interpret)
+                    interpret=interpret, early_exit=early_exit)
                 fT = untile_batch(fT.reshape(nb * G, Z, bt), nb, bt)
                 fTp = untile_batch(fTp.reshape(nb * q, Z, bt), nb, bt)
                 done = stats[:, 0].reshape(B) > 0.5

@@ -31,8 +31,11 @@ by a direct HBM->VMEM DMA.
 
 Semantics identical to fec_qc's fused/XLA paths (same delayed-vote
 bookkeeping; f32 totals differ only in accumulation order). Early exit
-is NOT expressible in a fixed grid — callers wanting earlyExit use the
-multi-kernel path. Reference: /root/reference/optic/comm/fec.py:505,:684.
+on the fixed grid is a per-chunk SKIP (round 5): once a grid row's whole
+batch tile has converged, its remaining steps run as no-ops — outputs
+are frozen either way, so only wall time changes (the reference's
+break-on-parity serving behavior, fec.py:494-497, at bt granularity).
+Reference: /root/reference/optic/comm/fec.py:505,:684.
 """
 
 from functools import partial
@@ -51,7 +54,7 @@ def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref,
                m_any, ft_ref, ftp_ref, stats_ref,
                tprev, tacc, tpprev, tpacc, m_scr, x_scr, m1_ref, m2_ref,
                parx_ref, partot_ref, vote_ref, done_ref, niter_ref, sem,
-               *, S, q, G, K, alpha, mdt):
+               *, S, q, G, K, alpha, mdt, early_exit=False):
     D = S + 2
     b = pl.program_id(0)
     k = pl.program_id(1)
@@ -75,7 +78,21 @@ def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref,
         done_ref[...] = jnp.zeros((8, bt), jnp.float32)
         niter_ref[...] = jnp.zeros((8, bt), jnp.float32)
 
-    @pl.when(j < q)
+    # early exit on a FIXED grid: once every codeword in this chunk has
+    # converged (done latches, never clears), all remaining column and
+    # bookkeeping steps become no-ops — frozen outputs, stats and the
+    # phantom-step vote are already final, so skipping them is
+    # unobservable. The grid still runs; each skipped step costs only its
+    # sequential-grid overhead (~us) instead of the column DMA + VPU work.
+    # (read AFTER the chunk-init block: at (b, 0, 0) done was just zeroed)
+    j_step = j < q
+    bk_step = j == q
+    if early_exit:
+        chunk_live = jnp.logical_not(jnp.all(done_ref[...] > 0.5))
+        j_step = j_step & chunk_live
+        bk_step = bk_step & chunk_live
+
+    @pl.when(j_step)
     def _():  # check column j + T_acc scatter
         # this column's messages: zeros at the first iteration (BP
         # initial state), otherwise the explicit HBM read-back of what
@@ -188,7 +205,7 @@ def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref,
             cp.start()
             cp.wait()
 
-    @pl.when(j == q)
+    @pl.when(bk_step)
     def _():  # bookkeeping: fold vote of T_k, freeze T_{k+1}, swap
         ok = vote_ref[...] * jnp.where(k > 0, 1.0, 0.0)
         done = jnp.maximum(done_ref[...], ok)
@@ -268,8 +285,17 @@ class MegaBudgetError(ValueError):
 
 
 def qc_decode_mega(llr_i, llr_p, pos_tab, sh_tab, bsh_tab, G, K, *,
-                   msg_dtype=jnp.float32, alpha=None, interpret=False):
+                   msg_dtype=jnp.float32, alpha=None, interpret=False,
+                   early_exit=False):
     """Run the whole QC BP decode in one kernel.
+
+    ``early_exit=True`` adds a per-chunk convergence skip: once all ``bt``
+    codewords of a grid row have converged, the remaining (K - k) * (q+1)
+    grid steps for that row execute as no-ops (outputs/stats identical —
+    they are frozen at convergence either way; wall time tracks the
+    slowest codeword of each chunk plus ~us of skipped-step overhead,
+    matching the reference decoder's break-on-parity serving semantics,
+    /root/reference/optic/comm/fec.py:494-497).
 
     llr_i: (nb, G*Z, bt) f32; llr_p: (nb, q*Z, bt) f32 (tiled layouts).
     pos/sh/bsh tabs: (S, q) int32. ``msg_dtype``: check-message storage
@@ -341,7 +367,8 @@ def qc_decode_mega(llr_i, llr_p, pos_tab, sh_tab, bsh_tab, G, K, *,
         ],
     )
     m_out, fT, fTp, stats = pl.pallas_call(
-        partial(_mega_body, S=S, q=q, G=G, K=K, alpha=alpha, mdt=mdt),
+        partial(_mega_body, S=S, q=q, G=G, K=K, alpha=alpha, mdt=mdt,
+                early_exit=early_exit),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((nb * q, D, Z, bt), mdt),

@@ -472,9 +472,21 @@ def test_qc_megakernel_matches_xla_path():
     from opticommpy_tpu.comm import fec_qc
 
     rng = np.random.default_rng(13)
+    # B=128: the megakernel requires a 128-lane-aligned batch tile; any
+    # smaller batch silently routes to the fused path (bt%128 precheck,
+    # round 4) and this test would compare fused-vs-xla under a 'mega'
+    # label — which it DID for all of round 4 with the old B=8 workload
+    # (caught by tests/test_fallback_audit.py, round 5).
+    # Tolerances: the REAL megakernel accumulates totals as sequential
+    # VMEM adds and stores bf16 messages with its own rounding points, so
+    # bf16 totals sit ~1e-3 relative from the XLA tree-reduction path
+    # (decisions/signs/iterations exact — asserted below). f32 at bt=128
+    # exceeds the ~100 MB VMEM budget (mega_state_bytes: R4/5 needs
+    # ~107 MB) and exercises the documented fused fallback, which matches
+    # XLA to f32 sum-order (1e-5).
     llrs = jnp.asarray(
-        (1.2 + rng.normal(scale=1.6, size=(64800, 8))).astype(np.float32))
-    for mdt in ("bf16", "f32"):
+        (1.2 + rng.normal(scale=1.6, size=(64800, 128))).astype(np.float32))
+    for mdt, tol in (("bf16", 2e-3), ("f32", 1e-5)):
         ref = fec_qc.make_qc_decoder(64800, "4/5", 3, "MSA", mdt,
                                      backend="xla")
         meg = fec_qc.make_qc_decoder(64800, "4/5", 3, "MSA", mdt,
@@ -486,7 +498,7 @@ def test_qc_megakernel_matches_xla_path():
         assert np.array_equal(np.asarray(i1), np.asarray(i2)), mdt
         assert np.array_equal(np.asarray(f1), np.asarray(f2)), mdt
         assert not (np.signbit(o1) != np.signbit(o2)).any(), mdt
-        assert np.abs(o1 - o2).max() / np.abs(o1).max() < 1e-5, mdt
+        assert np.abs(o1 - o2).max() / np.abs(o1).max() < tol, mdt
 
     # nested-in-jit construction + reuse of the cached decoder standalone
     @jax.jit
@@ -500,6 +512,41 @@ def test_qc_megakernel_matches_xla_path():
                                  backend="fused")
     b = float(jnp.mean(dec(llrs)[0]))
     assert abs(a - b) < 1e-5 * max(1.0, abs(a))
+
+
+def test_qc_megakernel_early_exit_identical():
+    """The megakernel's per-chunk early-exit grid skip (round 5) returns
+    BIT-identical totals, decisions, iteration counts and failure flags to
+    the fixed-grid megakernel on a converging workload — the skip must be
+    unobservable except in wall time (reference break-on-parity serving
+    semantics, fec.py:494-497). The workload converges in ~10-12 of the 20
+    iterations, so the skip path genuinely executes. B=128 drives the REAL
+    megakernel (smaller batches route to fused via the bt%128 precheck);
+    iteration budget 12 keeps the interpret-mode grid affordable while the
+    slowest codeword still converges inside it."""
+    from opticommpy_tpu.comm import fec_qc
+    from opticommpy_tpu.comm.fec import encode_ldpc, standard_ldpc
+
+    n, R, k = 64800, "4/5", 51840
+    _, edges = standard_ldpc("DVBS2", n, R)
+    rng = np.random.default_rng(7)
+    sigma = np.sqrt(0.5 * 10 ** (-2.7 / 10))
+    bits = rng.integers(0, 2, size=(k, 128)).astype(np.int8)
+    cw = np.asarray(encode_ldpc(jnp.asarray(bits), edges=edges))
+    y = (1 - 2.0 * cw) + sigma * rng.normal(size=cw.shape)
+    llr = jnp.asarray((2 * y / sigma**2).astype(np.float32))
+
+    fixed = fec_qc.make_qc_decoder(n, R, 12, "NMSA", "bf16", backend="mega")
+    ee = fec_qc.make_qc_decoder(n, R, 12, "NMSA", "bf16", early_exit=True,
+                                backend="mega")
+    o1, i1, f1 = fixed(llr)
+    o2, i2, f2 = ee(llr)
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))
+    assert 3 < int(np.asarray(i1).max()) < 12  # skip actually triggered
+    assert np.array_equal(np.asarray(f1), np.asarray(f2))
+    assert np.array_equal(np.asarray(o1, np.float32),
+                          np.asarray(o2, np.float32))
+    assert ((np.asarray(o1, np.float32) < 0).astype(np.int8) == cw).all()
 
 
 def test_qc_megakernel_rejects_unaligned_batch_tile():

@@ -83,6 +83,8 @@ def main():
                                         backend="fused"),
         "early": fec_qc.make_qc_decoder(N, R, 20, "NMSA", "bf16",
                                         early_exit=True, backend="fused"),
+        "megaee": fec_qc.make_qc_decoder(N, R, 20, "NMSA", "bf16",
+                                         early_exit=True, backend="mega"),
     }
     for B in BATCHES:
         for snr in SNRS:
