@@ -179,6 +179,34 @@ def build_chain():
         out = y_cols * jnp.exp(1j * est)
         return jnp.mean((out * jnp.conj(out)).real)
 
+    def cr_frozen_chain(sig_ri, h_ri):
+        """Frozen-tap serving chain WITH the Gardner clock-recovery stage
+        (runCR analogue): MF + EDC + pnorm + Pallas Gardner retiming +
+        frozen MIMO apply + Pallas BPS, one jit. The Gardner kernel runs
+        modes sequentially (lane-packing is structurally blocked by
+        per-lane dynamic offsets — CLAUDE.md roadmap), so ~0.55 Msym/s/
+        mode is the chain's hard ceiling when clock recovery is in the
+        path; this row records what that costs end-to-end."""
+        from opticommpy_tpu.dsp.clock_recovery import (ClockRecoveryConfig,
+                                                       gardner_clock_recovery)
+        from opticommpy_tpu.kernels.bps_pallas import bps_pallas
+        from opticommpy_tpu.ops.filtering import fir_filter
+
+        sig = (sig_ri[..., 0] + 1j * sig_ri[..., 1]).astype(jnp.complex64)
+        H = (h_ri[..., 0] + 1j * h_ri[..., 1]).astype(jnp.complex64)
+        x = fir_filter(pulse, sig)
+        x = edc(x, edc_cfg)
+        x = pnorm(x)
+        backend = "pallas" if jax.default_backend() != "cpu" else "scan"
+        x = gardner_clock_recovery(
+            x, ClockRecoveryConfig(kp=2e-3, ki=1e-5, isNyquist=True),
+            backend=backend, static_out=True)
+        y = mimo_apply(H, pnorm(x), SPS)
+        est = bps_pallas(y, 32, const, 64,
+                         interpret=jax.default_backend() == "cpu")
+        out = y * jnp.exp(1j * est)
+        return jnp.mean((out * jnp.conj(out)).real)
+
     def pallas_chain(sig_ri, h_ri):
         from opticommpy_tpu.kernels.bps_pallas import bps_pallas
         from opticommpy_tpu.kernels.mimo_pallas import mimo_eq_pallas
@@ -207,7 +235,7 @@ def build_chain():
     return (adaptive_chain, frozen_chain, pallas_chain, fused_chain,
             fused_batch_chain, adaptive_batch_chain,
             jnp.asarray(sig_ri), jnp.asarray(h0),
-            adaptive_batch_multistage_chain)
+            adaptive_batch_multistage_chain, cr_frozen_chain)
 
 
 def time_fn(fn, *args, reps=3):
@@ -301,11 +329,12 @@ def bench_volterra(n_sym=16384, sps=2, batch=8):
 
 def main():
     (adaptive, frozen, pallas, fused, fused_batch, adaptive_batch,
-     sig, h0, adaptive_batch_ms) = build_chain()
+     sig, h0, adaptive_batch_ms, cr_frozen) = build_chain()
     t_ad = time_fn(adaptive, sig, h0)
     t_fr = time_fn(frozen, sig, h0)
     t_pl = time_fn(pallas, sig, h0)
     t_fu = time_fn(fused, sig, h0)
+    t_cr = time_fn(cr_frozen, sig, h0)
     batch = 8
     sig_b = jnp.broadcast_to(sig, (batch,) + sig.shape)
     h_b = jnp.broadcast_to(h0, (batch,) + h0.shape)
@@ -320,6 +349,7 @@ def main():
         "adaptive_batch8_multistage_Msym_per_s": round(
             batch * N_SYM / t_ams / 1e6, 3),
         "frozen_tap_Msym_per_s": round(N_SYM / t_fr / 1e6, 3),
+        "frozen_tap_with_cr_Msym_per_s": round(N_SYM / t_cr / 1e6, 3),
         "fused_frozen_Msym_per_s": round(N_SYM / t_fu / 1e6, 3),
         "fused_batch8_Msym_per_s": round(batch * N_SYM / t_fb / 1e6, 3),
         "n_symbols": N_SYM,

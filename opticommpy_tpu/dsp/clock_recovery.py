@@ -109,7 +109,8 @@ def _gardner_one_mode(col, cfg: ClockRecoveryConfig, n_out):
 
 
 def gardner_clock_recovery(sig, config: ClockRecoveryConfig = ClockRecoveryConfig(),
-                           return_timing=False, backend="scan"):
+                           return_timing=False, backend="scan",
+                           static_out=False):
     """Gardner clock recovery with PI loop filter and NCO (clockRecovery.py:85).
 
     Input is expected at 2 samples/symbol; output is retimed at 2
@@ -119,12 +120,22 @@ def gardner_clock_recovery(sig, config: ClockRecoveryConfig = ClockRecoveryConfi
     ``backend='pallas'`` runs the same recurrence in a fused TPU kernel
     (kernels/gardner_pallas.py, ~12x the while_loop on v5e; identical output
     to f32 rounding; interpret mode is selected automatically on CPU).
+
+    ``static_out=True`` keeps the output length STATIC at
+    ``n_out = (1 - maxPPM/1e6) * n_in`` instead of truncating to the
+    realized sample count (which forces a host sync and makes the function
+    untraceable under an outer ``jit``). Use it to compose clock recovery
+    into one-jit chains: for any true offset ``|ppm| < maxPPM - margin``
+    the NCO produces ~``(1 - ppm/1e6) * n_in > n_out`` samples, so the
+    fixed-length output is fully valid; only if the input runs dry early
+    is the tail zero-filled.
     """
     if backend == "pallas":
         from opticommpy_tpu.kernels.gardner_pallas import gardner_pallas
 
         return gardner_pallas(sig, config, return_timing=return_timing,
-                              interpret=jax.default_backend() == "cpu")
+                              interpret=jax.default_backend() == "cpu",
+                              static_out=static_out)
     sig = jnp.asarray(sig)
     squeeze = sig.ndim == 1
     if squeeze:
@@ -133,14 +144,17 @@ def gardner_clock_recovery(sig, config: ClockRecoveryConfig = ClockRecoveryConfi
     n_in = sig.shape[0]
     n_out = int((1 - config.maxPPM / 1e6) * n_in)
 
-    outs, t_vals, last_n = [], [], 0
+    outs, t_vals, n_fin = [], [], []
     for k in range(sig.shape[1]):
         eo, tv, n = _gardner_one_mode(sig[:, k], config, n_out)
         outs.append(eo)
         t_vals.append(tv)
-        last_n = max(last_n, int(n))
-    eo = jnp.stack(outs, axis=1)[:last_n]
-    tv = jnp.stack(t_vals, axis=1)[:last_n]
+        n_fin.append(n)
+    eo = jnp.stack(outs, axis=1)
+    tv = jnp.stack(t_vals, axis=1)
+    if not static_out:
+        last_n = max(int(n) for n in n_fin)  # host sync: data-dependent crop
+        eo, tv = eo[:last_n], tv[:last_n]
     if squeeze:
         eo = eo[:, 0]
         tv = tv[:, 0]

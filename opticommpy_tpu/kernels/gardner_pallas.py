@@ -205,12 +205,16 @@ def _gardner_pallas_1d(col_re, col_im, cfg_tuple, n_out, block=512,
 
 
 def gardner_pallas(sig, config=None, return_timing=False, block=512,
-                   interpret=False):
+                   interpret=False, static_out=False):
     """Pallas Gardner clock recovery (drop-in for gardner_clock_recovery).
 
     Same semantics as :func:`opticommpy_tpu.dsp.clock_recovery.
     gardner_clock_recovery`; ~20x faster on TPU (the while_loop pays ~10 us
-    per output sample, this kernel ~0.5 us).
+    per output sample, this kernel ~0.5 us). ``static_out=True`` skips the
+    data-dependent crop (a host sync) and returns the fixed
+    ``(1 - maxPPM/1e6) * n_in``-length output — required when composing
+    under an outer ``jit`` (see gardner_clock_recovery's docstring for the
+    validity argument).
     """
     from opticommpy_tpu.dsp.clock_recovery import ClockRecoveryConfig
 
@@ -234,9 +238,11 @@ def gardner_pallas(sig, config=None, return_timing=False, block=512,
         outs.append(eo)
         t_vals.append(tv)
         n_fin.append(nf)
-    last_n = int(jnp.max(jnp.stack(n_fin)))
-    eo = jnp.stack(outs, axis=1)[:last_n]
-    tv = jnp.stack(t_vals, axis=1)[:last_n]
+    eo = jnp.stack(outs, axis=1)
+    tv = jnp.stack(t_vals, axis=1)
+    if not static_out:
+        last_n = int(jnp.max(jnp.stack(n_fin)))  # host sync
+        eo, tv = eo[:last_n], tv[:last_n]
     if squeeze:
         eo, tv = eo[:, 0], tv[:, 0]
     return (eo, tv) if return_timing else eo

@@ -87,6 +87,103 @@ def test_coherent_pipeline_pallas_backend():
     assert float(jnp.max(ber)) < 1e-2, np.asarray(ber)
 
 
+def test_coherent_pipeline_with_clock_recovery():
+    """One-jit chain with the Gardner stage: a +200 ppm receiver-clock
+    offset (plus sampling jitter) that breaks the plain chain is absorbed
+    by runCR=True (VERDICT r4 item 3; reference clockRecovery.py:85 +
+    test_clockRecovery.ipynb compose clock recovery the same way).
+
+    Offset choice: at 50 ppm the fractionally-spaced DD-LMS tracks the
+    drift by itself (measured BER 0.0047 vs 0.0041 with CR) — the drift
+    over the record stays inside the tap span. 200 ppm slips ~6.5 samples
+    across the record: plain-chain BER 0.42, CR-chain 0.0033 (CPU mesh,
+    this exact seed)."""
+    from opticommpy_tpu.ops.signal import clock_sampling_interp
+
+    key = jax.random.PRNGKey(35)
+    k_tx, k_ch, k_lo, k_rx, k_j = jax.random.split(key, 5)
+    cfg_tx = WDMTxConfig(M=16, Rs=32e9, SpS=8, nBits=2**15, nChannels=1,
+                         nPolModes=2, nFilterTaps=512, pulseRollOff=0.01,
+                         powerPerChannel=(0.0,), laserLinewidth=50e3)
+    fs = cfg_tx.Fs
+    sig_tx, symb_tx, _ = simple_wdm_tx(k_tx, cfg_tx)
+    cfg_ch = SSFMConfig(Ltotal=50, Lspan=50, alpha=0.2, D=16, gamma=1.3,
+                        Fs=fs, amp="edfa", nlprMethod=False, hz=1.0)
+    sig_ch = manakov_ssf(sig_tx, cfg_ch, k_ch)
+    lo = basic_laser_model(LaserConfig(P=10.0, lw=50e3, Ns=sig_ch.shape[0],
+                                       Fs=fs, freqShift=50e6, RIN_var=0.0),
+                           k_lo)
+    sig_rx = pdm_coherent_receiver(sig_ch, lo, PDMFrontendConfig(Fs=fs),
+                                   key=k_rx)
+
+    # reference sync from the CLEAN signal (50 ppm drifts < 1 sample over
+    # this record, so the alignment carries over to the offset signal)
+    pulse = jnp.asarray(pulse_shape("rrc", cfg_tx.SpS, 512, 0.01))
+    pre = decimate(fir_filter(pulse, sig_rx), cfg_tx.SpS, 2)
+    pre = edc(pre, EDCConfig(L=50, D=16, Fs=2 * 32e9, Rs=32e9))
+    d_ref = pnorm(symbol_sync(pre, symb_tx[:, :, 0], 2))
+
+    # receiver ADC runs 200 ppm fast, with sampling jitter
+    sig_off = clock_sampling_interp(sig_rx, fs, fs * (1 + 200e-6),
+                                    jitter_rms=1e-3 / fs, key=k_j)
+
+    n_sym_cr = (sig_off.shape[0] // (8 // 2)
+                * 999) // 1000 // 2 * 2  # conservative post-CR budget
+    d_cr = d_ref[:min(8000, n_sym_cr)]
+    cfg = CoherentDSPConfig(SpS_in=8, nFilterTaps=512, L=50, nTrain=4000,
+                            runCR=True, crBackend="scan", crNyquist=True,
+                            crKp=2e-3, crKi=1e-5)
+    chain = jax.jit(lambda s, d: coherent_dsp_chain(s, d, cfg))
+    y, _ = chain(sig_off, d_cr)
+    disc = 5000
+    ber, _, _ = fast_ber_calc(y[disc:-100], d_cr[disc:-100], 16, "qam")
+    assert float(jnp.max(ber)) < 1e-2, np.asarray(ber)
+
+    # control: without clock recovery the same offset signal is
+    # unequalizable (the drifting sampling phase defeats the static taps)
+    cfg_off = CoherentDSPConfig(SpS_in=8, nFilterTaps=512, L=50, nTrain=4000)
+    y_n, _ = jax.jit(lambda s, d: coherent_dsp_chain(s, d, cfg_off))(
+        sig_off, d_cr)
+    ber_n, _, _ = fast_ber_calc(y_n[disc:-100], d_cr[disc:-100], 16, "qam")
+    assert float(jnp.max(ber_n)) > 10 * float(jnp.max(ber))
+
+
+def test_coherent_pipeline_4x4_modes():
+    """N=4 mode-multiplexed chain (VERDICT r4 item 9): a 4x4 complex mixing
+    channel through the SAME one-jit coherent_dsp_chain, on the scan AND
+    Pallas equalizer backends — no composed chain had run at >2 modes.
+    Reference N x N claim: equalization.py:125."""
+    from opticommpy_tpu.comm.modulation import gray_mapping
+    from opticommpy_tpu.ops import fir_filter, pulse_shape, upsample
+
+    rng = np.random.default_rng(77)
+    n_sym, sps, modes = 2**14, 2, 4
+    const = gray_mapping(16, "qam")
+    const = (const / np.sqrt(np.mean(np.abs(const) ** 2))).astype(
+        np.complex64)
+    sym = const[rng.integers(0, 16, size=(n_sym, modes))]
+    pulse = jnp.asarray(pulse_shape("rrc", sps, 257, 0.1))
+    wav = fir_filter(pulse, upsample(jnp.asarray(sym), sps))
+    mix = (np.eye(modes) + 0.12 * (rng.normal(size=(modes, modes))
+                                   + 1j * rng.normal(size=(modes, modes)))
+           ).astype(np.complex64)
+    sig = jnp.asarray(np.asarray(wav) @ mix.T
+                      + 0.015 * (rng.normal(size=wav.shape)
+                                 + 1j * rng.normal(size=wav.shape)))
+    ref = jnp.asarray(sym)
+
+    for backend in ("scan", "pallas"):
+        cfg = CoherentDSPConfig(
+            SpS_in=sps, SpS_dsp=sps, nFilterTaps=257, rollOff=0.1, L=0.5,
+            nTaps=15, mu=(5e-3, 1e-3), nTrain=6000, runFOE=False,
+            eqBackend=backend, cprBackend="pallas")
+        y, _ = jax.jit(lambda s, d: coherent_dsp_chain(s, d, cfg))(sig, ref)
+        assert y.shape[1] == modes
+        disc = 8000
+        ber, _, _ = fast_ber_calc(y[disc:-100], ref[disc:-100], 16, "qam")
+        assert float(jnp.max(ber)) < 1e-2, (backend, np.asarray(ber))
+
+
 def test_coherent_dsp_serve_matches_staged_components():
     """Serving path == staged mimo_apply+bps composition per signal."""
     import numpy as np
