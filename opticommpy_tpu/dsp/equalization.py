@@ -328,9 +328,12 @@ def _adapt_eq_stage_blocked(
     scan iterations with MXU-shaped work per iteration.
     """
     n_blocks = length // k_block
-    # gather all windows once: (length, taps, modes)
-    idx = np.arange(length)[:, None] * sps + np.arange(n_taps)[None, :]
-    wins_all = sig_pad[jnp.asarray(idx)]
+    # build all windows once: (length, taps, modes) — strided slices, not
+    # a gather (kernels/_util.sliding_windows: identical array, ~6.5 ms
+    # cheaper at serving sizes on the TPU backend)
+    from opticommpy_tpu.kernels._util import sliding_windows
+
+    wins_all = sliding_windows(sig_pad, length, sps, n_taps)
 
     def step(carry, b):
         H, H_ = carry
@@ -446,12 +449,14 @@ def _adapt_eq_stage_pallas_rls(sig_pad, symb_ref, H, Sd, const_np, lam,
     from opticommpy_tpu.kernels.bps_pallas import _square_qam_levels
     from opticommpy_tpu.kernels.rls_pallas import _rls_run_windows
 
+    from opticommpy_tpu.kernels._util import sliding_windows
+
     n_modes = sig_pad.shape[1]
     block = 256
     n_pad_sym = -(-length // block) * block
-    idx = ((n_start + np.arange(length))[:, None] * sps
-           + np.arange(n_taps)[None, :])
-    win = sig_pad[jnp.asarray(idx)]  # (length, taps, modes)
+    win = sliding_windows(  # (length, taps, modes); n_start is static
+        jax.lax.slice_in_dim(sig_pad, n_start * sps, sig_pad.shape[0]),
+        length, sps, n_taps)
     w = jnp.pad(win.transpose(0, 2, 1),  # (n_pad_sym, modes, taps)
                 ((0, n_pad_sym - length), (0, 0), (0, 0)))
     ref = symb_ref[n_start:n_start + length]
@@ -494,11 +499,13 @@ def _adapt_eq_stage_pallas(sig_pad, symb_ref, H, const_np, mu, alg, sps,
     from opticommpy_tpu.kernels.bps_pallas import _square_qam_levels
     from opticommpy_tpu.kernels.mimo_pallas import _mimo_eq_run_windows
 
+    from opticommpy_tpu.kernels._util import sliding_windows
+
     n_modes = sig_pad.shape[1]
     width = n_modes * n_taps
-    idx = ((n_start + np.arange(length))[:, None] * sps
-           + np.arange(n_taps)[None, :])
-    win = sig_pad[jnp.asarray(idx)]  # (length, taps, modes)
+    win = sliding_windows(  # (length, taps, modes); n_start is static
+        jax.lax.slice_in_dim(sig_pad, n_start * sps, sig_pad.shape[0]),
+        length, sps, n_taps)
     w = win.reshape(length, width)
     ref = symb_ref[n_start:n_start + length]
 
@@ -1209,9 +1216,10 @@ def _norm_const(M, const_type):
 
 
 def _windows(sig_pad, n_out, sps, n_taps):
-    """(n_out, n_taps) matrix of input windows, gathered once."""
-    idx = np.arange(n_out)[:, None] * sps + np.arange(n_taps)[None, :]
-    return sig_pad[jnp.asarray(idx)]
+    """(n_out, n_taps) matrix of input windows (strided slices + stack)."""
+    from opticommpy_tpu.kernels._util import sliding_windows
+
+    return sliding_windows(sig_pad, n_out, sps, n_taps)
 
 
 @partial(jax.jit, static_argnames=("cfg", "is_complex"))

@@ -141,9 +141,11 @@ def _dfe_run(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
     n_pad_sym = n_blocks * block
 
     def windows(x):  # (B, N) -> (n_pad_sym, B, n_ff)
+        from opticommpy_tpu.kernels._util import sliding_windows
+
         xp = jnp.pad(x, ((0, 0), (0, n_ff + n_pad_sym * sps - x.shape[1])))
-        idx = np.arange(n_pad_sym)[:, None] * sps + np.arange(n_ff)[None, :]
-        return xp[:, jnp.asarray(idx)].transpose(1, 0, 2)
+        return sliding_windows(xp, n_pad_sym, sps, n_ff,
+                               axis=1).transpose(1, 0, 2)
 
     w_re = windows(sig_re)
     w_im = windows(sig_im)

@@ -174,12 +174,13 @@ def _mimo_eq_run(sig_re, sig_im, ref_re, ref_im, const_re, const_im, aux,
     width = n_modes * n_taps  # flattened (taps, modes)
 
     def windows(x):
+        from opticommpy_tpu.kernels._util import sliding_windows
+
         xp = jnp.pad(x, ((l_pad, l_pad + sps + n_taps + n_pad_sym * sps
                           - x.shape[0]), (0, 0)))
-        # gather only the n_sym live rows — _mimo_eq_run_windows pads the
-        # tail block itself (gathering n_pad_sym here would double-pad)
-        idx = np.arange(n_sym)[:, None] * sps + np.arange(n_taps)[None, :]
-        w = xp[jnp.asarray(idx)]  # (n_sym, taps, n_modes)
+        # build only the n_sym live rows — _mimo_eq_run_windows pads the
+        # tail block itself (building n_pad_sym here would double-pad)
+        w = sliding_windows(xp, n_sym, sps, n_taps)  # (n_sym, taps, modes)
         return w.reshape(n_sym, width)
 
     out_re, out_im, h_re, h_im = _mimo_eq_run_windows(
@@ -513,14 +514,15 @@ def _mimo_eq_run_batch(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
     width = n_modes * n_taps
 
     def windows(x):  # (B, N, 2) -> (n_pad_sym, B, width)
+        from opticommpy_tpu.kernels._util import sliding_windows
+
         xp = jnp.pad(x, ((0, 0), (l_pad, l_pad + sps + n_taps
                                   + n_pad_sym * sps - x.shape[1]), (0, 0)))
-        # gather only the n_sym live rows, then zero-pad the tail block:
+        # build only the n_sym live rows, then zero-pad the tail block:
         # rows just past n_sym can still cover real signal-tail samples,
         # and a non-zero phantom window would update H past the last
         # symbol — something the scan path never does
-        idx = np.arange(n_sym)[:, None] * sps + np.arange(n_taps)[None, :]
-        w = xp[:, jnp.asarray(idx)]  # (B, n_sym, taps, n_modes)
+        w = sliding_windows(xp, n_sym, sps, n_taps, axis=1)
         w = w.reshape(n_batch, n_sym, width).transpose(1, 0, 2)
         return jnp.pad(w, ((0, n_pad_sym - n_sym), (0, 0), (0, 0)))
 

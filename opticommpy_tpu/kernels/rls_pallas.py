@@ -161,10 +161,11 @@ def _rls_run(sig_re, sig_im, ref_re, ref_im, const_re, const_im, h0_re,
     l_pad = n_taps // 2
 
     def windows(x):  # (N, modes) -> (n_pad_sym, modes, taps)
+        from opticommpy_tpu.kernels._util import sliding_windows
+
         xp = jnp.pad(x, ((l_pad, l_pad + sps + n_taps + n_pad_sym * sps
                           - x.shape[0]), (0, 0)))
-        idx = np.arange(n_pad_sym)[:, None] * sps + np.arange(n_taps)[None, :]
-        w = xp[jnp.asarray(idx)]  # (n_pad_sym, taps, modes)
+        w = sliding_windows(xp, n_pad_sym, sps, n_taps)  # (.., taps, modes)
         return w.transpose(0, 2, 1)
 
     w_re = windows(sig_re)
@@ -414,14 +415,15 @@ def _rls_run_batch(sig_re, sig_im, ref_re, ref_im, const_re, const_im,
     l_pad = n_taps // 2
 
     def windows(x):  # (B, N, modes) -> (n_pad_sym, B*modes, taps)
+        from opticommpy_tpu.kernels._util import sliding_windows
+
         xp = jnp.pad(x, ((0, 0),
                          (l_pad, l_pad + sps + n_taps + n_pad_sym * sps
                           - x.shape[1]), (0, 0)))
-        # gather only the n_sym live rows (the kernel masks updates past
+        # build only the n_sym live rows (the kernel masks updates past
         # n_sym, but phantom real-tail windows would still corrupt the
         # stored outputs' padding region; zero rows are cheap and exact)
-        idx = np.arange(n_sym)[:, None] * sps + np.arange(n_taps)[None, :]
-        w = xp[:, jnp.asarray(idx)]  # (B, n_sym, taps, modes)
+        w = sliding_windows(xp, n_sym, sps, n_taps, axis=1)
         w = w.transpose(1, 0, 3, 2).reshape(n_sym, BM, n_taps)
         return jnp.pad(w, ((0, n_pad_sym - n_sym), (0, 0), (0, 0)))
 

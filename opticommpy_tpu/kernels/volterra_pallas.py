@@ -180,11 +180,14 @@ def volterra_pallas(sig, symb_ref, config, block=512, interpret=False):
     n_blocks = -(-n_out // block)
     n_pad_sym = n_blocks * block
 
-    idx = np.arange(n_pad_sym)[:, None] * cfg.SpS + np.arange(n_taps)
-    extra = max(0, int(idx.max()) + 1 - sig_pad.shape[1])
+    from opticommpy_tpu.kernels._util import sliding_windows
+
+    need = (n_pad_sym - 1) * cfg.SpS + n_taps
+    extra = max(0, need - sig_pad.shape[1])
     if extra:
         sig_pad = jnp.pad(sig_pad, ((0, 0), (0, extra)))
-    wins = sig_pad[:, jnp.asarray(idx)]  # (B, n_pad_sym, n1)
+    wins = sliding_windows(sig_pad, n_pad_sym, cfg.SpS, n_taps,
+                           axis=1)  # (B, n_pad_sym, n1)
     wins = wins.transpose(1, 0, 2)
     refs = jnp.zeros((B, n_pad_sym), jnp.float32).at[
         :, :symb_ref.shape[1]].set(symb_ref[:, :n_pad_sym])
