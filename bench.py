@@ -269,14 +269,20 @@ def run_fec_decode(batch=128, early_exit=False, snr_db=2.3):
     bench_fec.py has the layout/dtype/batch sweep.
 
     ``early_exit=False`` (the throughput-comparable fixed-20 number) uses
-    the synthetic high-SNR LLR workload of rounds 1-4. ``early_exit=True``
+    the synthetic high-SNR LLR workload AND the MSA algorithm of rounds
+    1-4 (kept for round-over-round comparability). ``early_exit=True``
     measures the reference's break-on-parity serving semantics
     (fec.py:494-497; here the megakernel's per-chunk grid skip, round 5)
     at a REALISTIC operating point: all-zeros-codeword BPSK/AWGN LLRs at
     Es/N0 = ``snr_db`` dB — 0.4 dB above the pinned waterfall knee
     (tests/test_fec.py:558; FER 0 there, codewords converge in ~9-14 of
-    the 20 iteration budget). Decisions are identical to fixed-iteration
-    (pinned in tests); only wall time changes.
+    the 20 iteration budget) — decoded with NMSA (the waterfall-pinned
+    serving algorithm). Decisions are identical to fixed-iteration
+    (pinned in tests); only wall time changes. NOTE: the two key families
+    therefore differ in algorithm AND workload — do not attribute their
+    delta to the grid skip alone; the controlled same-algorithm,
+    same-LLR comparison is tools/bench_early_exit.py (NMSA fixed-20 mega
+    430-440 vs mega+skip 452-584 Mbit/s at B=512).
     """
     import jax.numpy as jnp
 

@@ -7,18 +7,21 @@ import numpy as np
 __all__ = ["auto_block", "sliding_windows", "split_ri"]
 
 
-def sliding_windows(xp, n_out, sps, n_taps, axis=0):
+def sliding_windows(xp, n_out, sps, n_taps, axis=0, taps_first=False):
     """Tap windows ``w[.., k, t, ..] = xp[.., k*sps + t, ..]`` along ``axis``.
 
-    Returns xp's shape with dim ``axis`` replaced by ``(n_out, n_taps)``.
-    Built as ``n_taps`` strided slices + stack (pure streaming copies).
-    The equivalent ``xp[idx]`` index gather produces the IDENTICAL array
-    but costs ~6.5 ms at (65536, 15, 2) c64 on the v5e backend (round-5
-    measurement; same pathology as the NLIN shifted-copy gathers, which
-    ran at ~0.6 GB/s) while the slice form sits at the dispatch floor.
-    Requires ``xp.shape[axis] >= (n_out - 1) * sps + n_taps`` (same as
-    the gather form).
+    Returns xp's shape with dim ``axis`` replaced by ``(n_out, n_taps)``
+    (or ``(n_taps, n_out)`` with ``taps_first=True`` — the shifted-copy
+    layout the NLIN lag products use). Built as ``n_taps`` strided slices
+    + stack (pure streaming copies). The equivalent ``xp[idx]`` index
+    gather produces the IDENTICAL array but costs ~6.5 ms at
+    (65536, 15, 2) c64 on the v5e backend (round-5 measurement; same
+    pathology as the NLIN shifted-copy gathers, which ran at ~0.6 GB/s)
+    while the slice form sits at the dispatch floor. Requires
+    ``xp.shape[axis] >= (n_out - 1) * sps + n_taps`` (same as the gather
+    form).
     """
+    axis = axis % xp.ndim  # a negative axis would silently stack at 0
     lim0 = (n_out - 1) * sps + 1
     strides = [1] * xp.ndim
     strides[axis] = sps
@@ -29,7 +32,7 @@ def sliding_windows(xp, n_out, sps, n_taps, axis=0):
         starts[axis] = t
         limits[axis] = t + lim0
         cols.append(jax.lax.slice(xp, starts, limits, strides))
-    return jnp.stack(cols, axis=axis + 1)
+    return jnp.stack(cols, axis=axis if taps_first else axis + 1)
 
 
 def auto_block(sublanes, lane_dim, block=256, budget=12 * 2**20, floor=32):

@@ -230,7 +230,8 @@ def dfe_pallas(sig, symb_ref, config=None, interpret=False, block=None):
         symb_ref = jnp.asarray(symb_ref)[None]
     # each row normalized independently, exactly ONCE: a global pnorm
     # before the per-row pass changes the f32 rounding and breaks the
-    # batch-vs-single bit-exactness pin (round-5 catch)
+    # batch-vs-single equality pin (round-5 catch; residual ulp-level
+    # shape-dependent XLA reassociation can remain at some tap configs)
     sig = jax.vmap(pnorm)(sig).astype(jnp.complex64)
     symb_ref = jax.vmap(pnorm)(jnp.asarray(symb_ref)).astype(jnp.complex64)
 

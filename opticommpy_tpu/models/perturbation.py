@@ -233,16 +233,16 @@ def _nlin_kernel_fft(x, y, cf, cx1, cx2, c_ispm):
     n_sym = x.shape[0]
     ind_l = cf.shape[0]
     L = (ind_l - 1) // 2
+    from opticommpy_tpu.kernels._util import sliding_windows
+
     xp = jnp.pad(x, (L, L))
     yp = jnp.pad(y, (L, L))
     # shifted copies xs[j, t] = x[t + j - L] as indL STATIC SLICES, not a
     # (indL, N) gather: XLA gathers run at ~0.6 GB/s on this TPU backend
     # (measured round 5: the two gathers were 90 of the 126 ms call) while
     # slices are pure streaming copies (~free)
-    xs = jnp.stack([jax.lax.slice_in_dim(xp, j, j + n_sym)
-                    for j in range(ind_l)])
-    ys = jnp.stack([jax.lax.slice_in_dim(yp, j, j + n_sym)
-                    for j in range(ind_l)])
+    xs = sliding_windows(xp, n_sym, 1, ind_l, taps_first=True)
+    ys = sliding_windows(yp, n_sym, 1, ind_l, taps_first=True)
     # lag products u_m[t] = x[t] x*[t+m] + y[t] y*[t+m], rows j <-> m = j-L
     u = x[None, :] * jnp.conj(xs) + y[None, :] * jnp.conj(ys)  # (indL, N)
 
@@ -307,13 +307,13 @@ def calc_nlin_perturbation(c_ifwm, c_ixpm, c_ispm, x, y, chunk=512,
 
     # pad and build sliding windows of width 4L+1 as static slices (see
     # _nlin_kernel_fft: gathers are ~0.6 GB/s on this backend)
+    from opticommpy_tpu.kernels._util import sliding_windows
+
     n_pad = int(np.ceil(n_sym / chunk)) * chunk
     xp = jnp.pad(x.astype(jnp.complex64), (d, d + (n_pad - n_sym)))
     yp = jnp.pad(y.astype(jnp.complex64), (d, d + (n_pad - n_sym)))
-    xw = jnp.stack([jax.lax.slice_in_dim(xp, j, j + n_pad)
-                    for j in range(2 * d + 1)], axis=1)
-    yw = jnp.stack([jax.lax.slice_in_dim(yp, j, j + n_pad)
-                    for j in range(2 * d + 1)], axis=1)
+    xw = sliding_windows(xp, n_pad, 1, 2 * d + 1)
+    yw = sliding_windows(yp, n_pad, 1, 2 * d + 1)
 
     dx, dy, phi_x, phi_y = _nlin_kernel(
         xw, yw, cf, cx1, cx2, jnp.asarray(c_ispm), chunk
@@ -397,13 +397,13 @@ def calc_nlin_perturbation_simplified(c_ifwm, c_ixpm, c_ispm, x, y,
     cx1 = jnp.asarray(c_ixpm[L, :])
     cx2 = jnp.asarray(c_ixpm[:, L])
 
+    from opticommpy_tpu.kernels._util import sliding_windows
+
     n_pad = int(np.ceil(n_sym / chunk)) * chunk
     xp = jnp.pad(x.astype(jnp.complex64), (d, d + (n_pad - n_sym)))
     yp = jnp.pad(y.astype(jnp.complex64), (d, d + (n_pad - n_sym)))
-    xw = jnp.stack([jax.lax.slice_in_dim(xp, j, j + n_pad)
-                    for j in range(2 * d + 1)], axis=1)
-    yw = jnp.stack([jax.lax.slice_in_dim(yp, j, j + n_pad)
-                    for j in range(2 * d + 1)], axis=1)
+    xw = sliding_windows(xp, n_pad, 1, 2 * d + 1)
+    yw = sliding_windows(yp, n_pad, 1, 2 * d + 1)
 
     dx, dy, phi_x, phi_y = _nlin_kernel_pruned(
         xw, yw, cf_sel, cx1, cx2, jnp.asarray(c_ispm),

@@ -363,7 +363,6 @@ class IMDDConfig:
     decision-feedback (or feedforward) equalizer in one program.
     """
 
-    Rs: float = 25e9
     SpS_in: int = 8  # photodiode-current oversampling
     M: int = 4
     eq: str = "dfe"  # 'dfe' | 'ffe'
@@ -390,9 +389,10 @@ def imdd_dsp_chain_batch(i_rx_batch, symb_ref_batch,
 
     All B signals' equalizer recurrences run on the sublane axis of ONE
     VMEM kernel pass (:func:`~opticommpy_tpu.kernels.dfe_pallas.
-    dfe_pallas`, bit-identical per signal to the single-signal kernel;
-    16.2 Msym/s aggregate at B=8 on v5e) — the IM-DD counterpart of
-    :func:`coherent_dsp_serve`.
+    dfe_pallas`; per-signal outputs match the single-signal kernel to
+    XLA's shape-dependent f32 reassociation — ulp-level, exact at most
+    tap configs; 16.2 Msym/s aggregate at B=8 on v5e) — the IM-DD
+    counterpart of :func:`coherent_dsp_serve`.
     """
     from opticommpy_tpu.dsp.equalization import DFEConfig, FFEConfig
     from opticommpy_tpu.kernels.dfe_pallas import dfe_pallas, ffe_pallas

@@ -166,7 +166,11 @@ def test_imdd_dsp_chain_batch_serves_dispersive_links():
         assert float(ber[0]) < 1e-3, (i, float(ber[0]))
         assert float(jnp.mean(mse_b[i, -4000:])) < 0.05
 
-    # the batched kernel is bit-identical per signal to the single-signal
-    # path (same equality class as the MIMO/RLS batch kernels)
+    # the batched kernel matches the single-signal path per signal to
+    # within XLA's shape-dependent reassociation (exact at this config;
+    # other tap counts — e.g. nTapsFB=3 — measured 1-ulp drift at a few
+    # symbols, so the pin allows ulp-level tolerance rather than
+    # overstating bit-exactness)
     y_0, mse_0 = imdd_dsp_chain_batch(i_b[0], ref_b[0], cfg)
-    np.testing.assert_array_equal(np.asarray(y_0), np.asarray(y_b[0]))
+    np.testing.assert_allclose(np.asarray(y_0), np.asarray(y_b[0]),
+                               rtol=0, atol=3e-6)
