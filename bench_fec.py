@@ -132,6 +132,45 @@ def main():
             }))
 
 
+def bench_early_exit():
+    """Mega fixed-20 vs mega per-chunk skip at a realistic operating point.
+
+    All-zeros-codeword BPSK/AWGN LLRs at Es/N0 = 2.3 dB (waterfall knee
+    + 0.4, FER 0 — codewords converge in ~9-14 of the 20-iteration
+    budget), NMSA bf16 — the serving configuration. Decisions are
+    bit-identical between the two (tests pin it); only wall time moves.
+    tools/bench_early_exit.py has the full (SNR x B x backend) matrix
+    with real encoded codewords.
+    """
+    from opticommpy_tpu.comm import fec_qc
+
+    rng = np.random.default_rng(5)
+    sigma = np.sqrt(0.5 * 10 ** (-2.3 / 10))
+    for b in (128, 512, 1024):
+        y = 1.0 + sigma * rng.normal(size=(64800, b))
+        llrs = jnp.asarray((2 * y / sigma**2).astype(np.float32))
+        for label, ee in (("fixed-20", False), ("early-exit", True)):
+            dec = fec_qc.make_qc_decoder(64800, "4/5", MAX_ITER, "NMSA",
+                                         "bf16", early_exit=ee,
+                                         backend="mega")
+
+            def run(llrs, dec=dec):
+                out, iters, fail = dec(llrs)
+                return float(jnp.mean(out) + jnp.sum(iters) + jnp.sum(fail))
+
+            run(llrs)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run(llrs)
+                ts.append(time.perf_counter() - t0)
+            print(json.dumps({
+                "metric": f"DVB-S2 R4/5 NMSA-{MAX_ITER} bf16 mega {label} "
+                          f"@ Es/N0 2.3 dB, B={b}",
+                "value": round(64800 * b / min(ts) / 1e6, 2),
+                "unit": "Mbit/s"}), flush=True)
+
+
 def bench_lift():
     """802.11n / AR4JA: gather path vs the lifted-circulant roll path."""
     from opticommpy_tpu.comm import fec_lift
@@ -178,6 +217,9 @@ def bench_lift():
 if __name__ == "__main__":
     if "--lift" in sys.argv:
         bench_lift()
+    elif "--early-exit" in sys.argv:
+        bench_early_exit()
     else:
         main()
         bench_lift()
+        bench_early_exit()

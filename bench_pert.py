@@ -19,10 +19,13 @@ not an HBM roofline); 'AMR' prunes coefficient cells below coeffTol.
 
 Prints one JSON line per configuration. Run: python bench_pert.py [--cpu]
 
-Measured on TPU v5e (2026-08, 2^16 symbols): L=25 FFT lag-product form
-0.53 Msym/s (38.6 GFLOP/s window-equivalent; 1.8x the chunked windowed
-contraction's 0.30), AMR pruned 0.30, L=50 FFT 0.29 Msym/s (83.5 GFLOP/s
-equivalent — the FFT form's advantage grows as O(L/log N)).
+Measured on TPU v5e (round 5, 2^16 symbols, after the shifted-copy
+slice fix — gathers on this backend run at ~0.6 GB/s and were 90 of the
+old 126 ms call): L=25 FFT lag-product form 2.41 Msym/s single /
+7.83 Msym/s vmapped batch-8 aggregate (the single call is
+dispatch-bound), chunked oracle 2.16, AMR pruned 2.45, L=50 FFT 1.94
+Msym/s (553 GFLOP/s window-equivalent). Round-4 numbers for comparison:
+0.53 / 0.30 / 0.30 / 0.29.
 """
 
 import json
@@ -98,6 +101,27 @@ def main():
             float(jrun(*args))
             ts.append(time.perf_counter() - t0)
         sym_s = N_SYM / min(ts)
+        if mode == "AM" and order == 25:
+            # serving shape: B signals' NLIN in one program (the single
+            # call is dispatch-bound after the round-5 slice fix)
+            B = 8
+            bargs = tuple(jnp.broadcast_to(a, (B,) + a.shape) for a in args)
+            jb = jax.jit(jax.vmap(run))
+
+            def runb():
+                return float(jnp.sum(jb(*bargs)))
+
+            runb()
+            tb = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                runb()
+                tb.append(time.perf_counter() - t0)
+            print(json.dumps({
+                "metric": f"NLIN perturbation (L={order}, AM, vmapped "
+                          f"batch {B})",
+                "value": round(B * N_SYM / min(tb) / 1e6, 3),
+                "unit": "Msym/s"}), flush=True)
         ind_l = 2 * order + 1
         flops_sym = 28 * ind_l**2  # see module docstring accounting
         if mode == "AMR":
