@@ -54,7 +54,15 @@ def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref,
                m_any, ft_ref, ftp_ref, stats_ref,
                tprev, tacc, tpprev, tpacc, m_scr, x_scr, m1_ref, m2_ref,
                parx_ref, partot_ref, vote_ref, done_ref, niter_ref, sem,
-               *, S, q, G, K, alpha, mdt, early_exit=False):
+               *, S, q, G, K, alpha, mdt, early_exit=False, layered=False):
+    # ``layered=True`` runs the serial-C (layered) schedule: ONE f32
+    # totals buffer (tprev) updated IN PLACE by message deltas as each
+    # check column is processed, so later columns in the same sweep see
+    # earlier columns' new messages — ~1.7x fewer sweeps to convergence
+    # than flooding (round-3 measurement) at the same per-sweep cost
+    # (the delta scatter back(new-old) replaces flooding's back(new) into
+    # the accumulator; no double buffer, no per-sweep llr re-init DMA).
+    # tacc/tpacc are unused dummies in this mode (static branches below).
     D = S + 2
     b = pl.program_id(0)
     k = pl.program_id(1)
@@ -72,9 +80,18 @@ def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref,
 
     @pl.when((k == 0) & (j == 0))
     def _():  # chunk init
-        dma_init()
-        tprev[...] = tacc[...].astype(mdt)
-        tpprev[...] = tpacc[...].astype(mdt)
+        if layered:
+            # channel LLRs land directly in the (f32) resident totals
+            cp = pltpu.make_async_copy(llr_ref.at[b], tprev, sem)
+            cp.start()
+            cp.wait()
+            cp = pltpu.make_async_copy(llrp_ref.at[b], tpprev, sem)
+            cp.start()
+            cp.wait()
+        else:
+            dma_init()
+            tprev[...] = tacc[...].astype(mdt)
+            tpprev[...] = tpacc[...].astype(mdt)
         done_ref[...] = jnp.zeros((8, bt), jnp.float32)
         niter_ref[...] = jnp.zeros((8, bt), jnp.float32)
 
@@ -175,29 +192,41 @@ def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref,
             flip = (parx_ref[...] ^ (x32 < 0).astype(jnp.int32)) == 1
             return jnp.where(flip, -om, om)
 
+        t_tgt = tprev if layered else tacc
+        tp_tgt = tpprev if layered else tpacc
         for sl in range(S):
             mnew = loo(sl)
+            if layered:  # old message, read BEFORE the overwrite below
+                old32 = m_scr[sl].astype(jnp.float32)
             m_scr[sl] = mnew.astype(mdt)
             if mdt == jnp.bfloat16:
                 mnew = mnew.astype(mdt).astype(jnp.float32)
             off = pos_ref[sl, j] * Z
-            back = pltpu.roll(mnew, bsh_ref[sl, j], axis=0)
-            tacc[pl.ds(off, Z), :] = tacc[pl.ds(off, Z), :] + back
+            upd = (mnew - old32) if layered else mnew
+            back = pltpu.roll(upd, bsh_ref[sl, j], axis=0)
+            t_tgt[pl.ds(off, Z), :] = t_tgt[pl.ds(off, Z), :] + back
         mS = loo(S)
+        if layered:
+            oldS = m_scr[S].astype(jnp.float32)
         m_scr[S] = mS.astype(mdt)
         if mdt == jnp.bfloat16:
             mS = mS.astype(mdt).astype(jnp.float32)
-        tpacc[pl.ds(j * Z, Z), :] = tpacc[pl.ds(j * Z, Z), :] + mS
+        updS = (mS - oldS) if layered else mS
+        tp_tgt[pl.ds(j * Z, Z), :] = tp_tgt[pl.ds(j * Z, Z), :] + updS
         mS1 = loo(S + 1)
+        if layered:
+            oldS1 = m_scr[S + 1].astype(jnp.float32)
         m_scr[S + 1] = mS1.astype(mdt)
         if mdt == jnp.bfloat16:
             mS1 = mS1.astype(mdt).astype(jnp.float32)
         # column j's staircase message reaches parity column j-1; column
         # 0 wraps to q-1 with a -1 row roll and a zeroed check-0 row
-        d = jnp.where(mask0, 0.0, mS1)
+        # (the mask is a static position, so the layered delta masks
+        # new and old identically)
+        d = jnp.where(mask0, 0.0, (mS1 - oldS1) if layered else mS1)
         d = pltpu.roll(d, jnp.where(first, Z - 1, 0), axis=0)
         offp = jm1 * Z
-        tpacc[pl.ds(offp, Z), :] = tpacc[pl.ds(offp, Z), :] + d
+        tp_tgt[pl.ds(offp, Z), :] = tp_tgt[pl.ds(offp, Z), :] + d
 
         @pl.when(k < K - 1)
         def _():  # the phantom step's messages are never read back
@@ -207,15 +236,25 @@ def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref,
 
     @pl.when(bk_step)
     def _():  # bookkeeping: fold vote of T_k, freeze T_{k+1}, swap
+        done_before = done_ref[...]
         ok = vote_ref[...] * jnp.where(k > 0, 1.0, 0.0)
-        done = jnp.maximum(done_ref[...], ok)
+        done = jnp.maximum(done_before, ok)
         done_ref[...] = done
         last = k == K - 1
         k0 = k == 0
         live = (done[0:1, :] < 0.5) & ~last
         niter_ref[...] = niter_ref[...] + jnp.where(
             jnp.broadcast_to(live, (8, bt)), 1.0, 0.0)
-        frozen = (done[0:1, :] > 0.5) | last
+        if layered:
+            # the layered parity vote sees MID-sweep totals (there is no
+            # single consistent snapshot); at the sweep where done first
+            # latches, freeze the END-of-sweep totals — the state the
+            # parity held for, carried one half-sweep further
+            frozen = (done_before[0:1, :] > 0.5) | last
+        else:
+            # flooding votes on the sweep's INPUT totals, which the
+            # previous bookkeeping already wrote to fT — keep them
+            frozen = (done[0:1, :] > 0.5) | last
 
         # freeze pass in multi-plane chunks (dynamic ds offsets). At
         # k == 0 the output buffers are UNINITIALIZED — the frozen
@@ -227,9 +266,11 @@ def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref,
         def fz(body_i, _):
             off = body_i * (ch * Z)
             prev = ft_ref[0, pl.ds(off, ch * Z), :]
+            # layered: the post-sweep totals ARE tprev (in place); a
+            # k==0 freeze (only possible at K==1) captures them too
             base = tprev[pl.ds(off, ch * Z), :].astype(jnp.float32)
             cur = jnp.where(k0, base, prev)
-            new = tacc[pl.ds(off, ch * Z), :]
+            new = base if layered else tacc[pl.ds(off, ch * Z), :]
             ft_ref[0, pl.ds(off, ch * Z), :] = jnp.where(fro_c, cur, new)
             return 0
 
@@ -243,7 +284,7 @@ def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref,
             prev = ftp_ref[0, pl.ds(off, chp * Z), :]
             base = tpprev[pl.ds(off, chp * Z), :].astype(jnp.float32)
             cur = jnp.where(k0, base, prev)
-            new = tpacc[pl.ds(off, chp * Z), :]
+            new = base if layered else tpacc[pl.ds(off, chp * Z), :]
             ftp_ref[0, pl.ds(off, chp * Z), :] = jnp.where(fro_p, cur, new)
             return 0
 
@@ -252,28 +293,36 @@ def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref,
         stats_ref[0, 0:8] = done_ref[...]
         stats_ref[0, 8:16] = niter_ref[...]
 
-        @pl.when(~last)
-        def _():
-            tprev[...] = tacc[...].astype(mdt)
-            tpprev[...] = tpacc[...].astype(mdt)
-            dma_init()
+        if not layered:  # layered: in-place totals, nothing to swap/reset
+            @pl.when(~last)
+            def _():
+                tprev[...] = tacc[...].astype(mdt)
+                tpprev[...] = tpacc[...].astype(mdt)
+                dma_init()
 
 
 MEGA_VMEM_BUDGET = 100 * 2**20
 
 
-def mega_state_bytes(G, q, S, bt, msg_dtype):
+def mega_state_bytes(G, q, S, bt, msg_dtype, schedule="flooding"):
     """VMEM bytes the megakernel keeps resident for one grid row.
 
     Callers should check ``mega_state_bytes(...) <= MEGA_VMEM_BUDGET``
     *before* invoking :func:`qc_decode_mega` (the decoder raises
     :class:`MegaBudgetError` otherwise) so an oversized configuration is
     routed to the multi-kernel path without exception-driven control flow.
+    The layered schedule keeps ONE f32 totals buffer (no mdt copy + f32
+    accumulator pair), so it is smaller than flooding at bf16 messages.
     """
     msz = jnp.dtype(
         jnp.bfloat16 if msg_dtype == "bf16" else msg_dtype).itemsize
     D = S + 2
     GZ = G * Z
+    if schedule == "layered":
+        return (GZ * bt * (4 + 4)                # T (f32, in place), fT
+                + q * Z * bt * (4 + 4)           # Tp, fTp
+                + 2 * D * Z * bt * msz           # m_scr + x_scr
+                + 8 * Z * bt * 4)                # roll/vote planes
     return (GZ * bt * (msz + 4 + 4)              # tprev, tacc, fT
             + q * Z * bt * (msz + 4 + 4)         # tpprev, tpacc, fTp
             + 2 * D * Z * bt * msz               # m_scr + x_scr
@@ -286,7 +335,7 @@ class MegaBudgetError(ValueError):
 
 def qc_decode_mega(llr_i, llr_p, pos_tab, sh_tab, bsh_tab, G, K, *,
                    msg_dtype=jnp.float32, alpha=None, interpret=False,
-                   early_exit=False):
+                   early_exit=False, schedule="flooding"):
     """Run the whole QC BP decode in one kernel.
 
     ``early_exit=True`` adds a per-chunk convergence skip: once all ``bt``
@@ -296,6 +345,16 @@ def qc_decode_mega(llr_i, llr_p, pos_tab, sh_tab, bsh_tab, G, K, *,
     slowest codeword of each chunk plus ~us of skipped-step overhead,
     matching the reference decoder's break-on-parity serving semantics,
     /root/reference/optic/comm/fec.py:494-497).
+
+    ``schedule='layered'`` (serial-C): the resident totals are ONE f32
+    buffer updated in place by message deltas as each check column is
+    processed, so later columns in a sweep see earlier columns' new
+    messages. Converges in ~1.7x fewer sweeps than flooding at the same
+    per-sweep cost — its wall-time win is realized through early_exit
+    (fixed-K layered just runs more-converged iterations). A different
+    message-passing schedule than the reference's flooding decoder:
+    decisions can differ on marginal codewords (FER is equal or better —
+    waterfall-verified); NOT bit-comparable to the flooding paths.
 
     llr_i: (nb, G*Z, bt) f32; llr_p: (nb, q*Z, bt) f32 (tiled layouts).
     pos/sh/bsh tabs: (S, q) int32. ``msg_dtype``: check-message storage
@@ -319,7 +378,10 @@ def qc_decode_mega(llr_i, llr_p, pos_tab, sh_tab, bsh_tab, G, K, *,
     mdt = jnp.dtype(msg_dtype)
     GZ = G * Z
 
-    state = mega_state_bytes(G, q, S, bt, mdt)
+    layered = schedule == "layered"
+    if schedule not in ("flooding", "layered"):
+        raise ValueError(f"unknown schedule {schedule!r}")
+    state = mega_state_bytes(G, q, S, bt, mdt, schedule)
     if state > MEGA_VMEM_BUDGET:
         raise MegaBudgetError(
             f"megakernel state {state/2**20:.1f} MB exceeds the ~100 MB "
@@ -350,10 +412,15 @@ def qc_decode_mega(llr_i, llr_p, pos_tab, sh_tab, bsh_tab, G, K, *,
                          lambda b, k, j, pos, sh, bsh: (b, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((GZ, bt), mdt),          # tprev
-            pltpu.VMEM((GZ, bt), jnp.float32),  # tacc
-            pltpu.VMEM((q * Z, bt), mdt),       # tpprev
-            pltpu.VMEM((q * Z, bt), jnp.float32),  # tpacc
+            # layered: tprev/tpprev are the ONE in-place f32 totals pair;
+            # tacc/tpacc shrink to unused dummies (static branches)
+            pltpu.VMEM((GZ, bt), jnp.float32 if layered else mdt),  # tprev
+            pltpu.VMEM((8, 128) if layered else (GZ, bt),
+                       jnp.float32),            # tacc
+            pltpu.VMEM((q * Z, bt),
+                       jnp.float32 if layered else mdt),  # tpprev
+            pltpu.VMEM((8, 128) if layered else (q * Z, bt),
+                       jnp.float32),            # tpacc
             pltpu.VMEM((D, Z, bt), mdt),        # m_scr
             pltpu.VMEM((D, Z, bt), mdt),        # x_scr
             pltpu.VMEM((Z, bt), jnp.float32),   # m1
@@ -368,7 +435,7 @@ def qc_decode_mega(llr_i, llr_p, pos_tab, sh_tab, bsh_tab, G, K, *,
     )
     m_out, fT, fTp, stats = pl.pallas_call(
         partial(_mega_body, S=S, q=q, G=G, K=K, alpha=alpha, mdt=mdt,
-                early_exit=early_exit),
+                early_exit=early_exit, layered=layered),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((nb * q, D, Z, bt), mdt),

@@ -59,23 +59,29 @@ def test_mega_backend_actually_runs_megakernel():
                             jnp.bfloat16) <= MEGA_VMEM_BUDGET
 
 
-def test_mega_unaligned_batch_routes_to_fused_not_mega():
-    """A batch tile that fails the lane-alignment pre-check must run the
-    fused multi-kernel path — and must NOT call into qc_decode_mega."""
+def test_mega_small_batch_pads_and_budget_routes_to_fused():
+    """Round-5 behavior: a small batch is PADDED to the 128-lane tile
+    (lane padding makes bt=128 cost the same as bt=8, and the +LLR pad
+    columns freeze at the first parity fold), so bf16 B=8 must RUN the
+    megakernel; f32 at bt=128 exceeds the ~100 MB VMEM budget and must
+    run the fused multi-kernel fallback — never qc_decode_mega."""
     import opticommpy_tpu.kernels.qc_mega as qc_mega
     import opticommpy_tpu.kernels.qc_pallas as qc_pallas
     from opticommpy_tpu.comm import fec_qc
-    from opticommpy_tpu.kernels.qc_pallas import pick_bt
 
     rng = np.random.default_rng(22)
     B = 8
-    bt = pick_bt(B, 14, 4, 4)  # R4/5 S=14, f32 messages
-    if bt % 128 == 0:
-        import pytest
-
-        pytest.skip("this host's pick_bt already lane-aligns B=8")
     llrs = jnp.asarray(
         (2.0 + rng.normal(scale=1.0, size=(64800, B))).astype(np.float32))
+    with mock.patch.object(qc_mega, "qc_decode_mega",
+                           wraps=qc_mega.qc_decode_mega) as spy_mega:
+        dec = fec_qc.make_qc_decoder(64800, "4/5", 3, "MSA", "bf16",
+                                     backend="mega", early_exit=False)
+        out_b, _, _ = dec(llrs)
+        assert spy_mega.call_count >= 1, (
+            "padded small batch never reached the megakernel")
+    assert np.isfinite(np.asarray(out_b, np.float32)).all()
+
     with mock.patch.object(qc_mega, "qc_decode_mega",
                            wraps=qc_mega.qc_decode_mega) as spy_mega, \
          mock.patch.object(qc_pallas, "check_column_update",
@@ -83,7 +89,7 @@ def test_mega_unaligned_batch_routes_to_fused_not_mega():
         dec = fec_qc.make_qc_decoder(64800, "4/5", 3, "MSA", "f32",
                                      backend="mega", early_exit=False)
         out, _, _ = dec(llrs)
-        assert spy_mega.call_count == 0, "unaligned tile reached megakernel"
+        assert spy_mega.call_count == 0, "over-budget f32 reached megakernel"
         assert spy_fused.call_count >= 1, "fused fallback never executed"
     assert np.isfinite(np.asarray(out)).all()
 

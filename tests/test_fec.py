@@ -549,6 +549,151 @@ def test_qc_megakernel_early_exit_identical():
     assert ((np.asarray(o1, np.float32) < 0).astype(np.int8) == cw).all()
 
 
+def _layered_bp_oracle(tb, llrs, max_iter, alpha=None):
+    """Plain-numpy serial-C (layered) QC BP with the megakernel's exact
+    semantics and op order: per check column, pass 1 reads the current
+    in-place totals (X = rolled T - old M, min/parity accumulators over
+    all S+2 slots), pass 2 writes leave-one-out messages and scatters the
+    DELTAS back; vote folds per column; done/freeze replicate the
+    kernel's layered bookkeeping (frozen = done_before | last; K =
+    max_iter + 1 sweeps). f32 messages -> bit-exact comparison target."""
+    Zl = 360
+    k_, m_, q, G, S = tb["k"], tb["m"], tb["q"], tb["G"], tb["S"]
+    pos_tab = np.ascontiguousarray(tb["pos_of_g"][tb["g_tab"]].T)  # (S, q)
+    sh_tab = np.ascontiguousarray(tb["s_tab"].T % Zl)
+    B = llrs.shape[1]
+    T = np.ascontiguousarray(
+        llrs[:k_].reshape(G, Zl, B)[tb["order_rows"]].astype(np.float32))
+    Tp = np.ascontiguousarray(
+        llrs[k_:].reshape(Zl, q, B).transpose(1, 0, 2).astype(np.float32))
+    D = S + 2
+    M = np.zeros((q, D, Zl, B), np.float32)
+    done = np.zeros(B, bool)
+    fT = np.zeros_like(T)
+    fTp = np.zeros_like(Tp)
+    n_iters = np.zeros(B, np.int32)
+    K = max_iter + 1
+    for kk in range(K):
+        vote = np.ones(B, bool)
+        for j in range(q):
+            X = np.empty((D, Zl, B), np.float32)
+            tot_neg = np.empty((D, Zl, B), bool)
+            for sl in range(S):
+                tot = np.roll(T[pos_tab[sl, j]], sh_tab[sl, j], axis=0)
+                X[sl] = tot - M[j, sl]
+                tot_neg[sl] = tot < 0
+            tot = Tp[j]
+            X[S] = tot - M[j, S]
+            tot_neg[S] = tot < 0
+            jm1 = q - 1 if j == 0 else j - 1
+            tot = np.roll(Tp[jm1], 1 if j == 0 else 0, axis=0)
+            X[S + 1] = tot - M[j, S + 1]
+            tot_neg[S + 1] = tot < 0
+            mask0 = np.zeros((Zl, B), bool)
+            if j == 0:
+                mask0[0] = True
+            X[S + 1][mask0] = np.inf
+            tot_neg[S + 1][mask0] = False
+            mag = np.abs(X)
+            order = np.sort(mag, axis=0)
+            m1, m2 = order[0], order[1]
+            parx = (X < 0).sum(axis=0) % 2
+            partot = tot_neg.sum(axis=0) % 2
+            vote &= np.all(partot == 0, axis=0)
+            for sl in range(D):
+                om = np.where(mag[sl] == m1, m2, m1)
+                if alpha is not None:
+                    om = np.float32(alpha) * om
+                flip = (parx ^ (X[sl] < 0)) % 2 == 1
+                new = np.where(flip, -om, om).astype(np.float32)
+                if sl < S:
+                    delta = new - M[j, sl]
+                    T[pos_tab[sl, j]] += np.roll(delta, -int(sh_tab[sl, j]),
+                                                 axis=0)
+                elif sl == S:
+                    Tp[j] += new - M[j, sl]
+                else:
+                    d = np.where(mask0, 0.0, new - M[j, sl]).astype(
+                        np.float32)
+                    if j == 0:
+                        d = np.roll(d, -1, axis=0)
+                    Tp[jm1] += d
+                M[j, sl] = new
+        ok = vote & (kk > 0)
+        done_before = done.copy()
+        done = done | ok
+        last = kk == K - 1
+        live = ~done & ~last
+        n_iters += live
+        frozen = done_before | last
+        k0 = kk == 0
+        fT = np.where(frozen[None, None, :], T if k0 else fT, T)
+        fTp = np.where(frozen[None, None, :], Tp if k0 else fTp, Tp)
+    out_info = fT[tb["pos_of_g"]].reshape(G * Zl, B)
+    out_p = fTp.transpose(1, 0, 2).reshape(m_, B)
+    return np.concatenate([out_info, out_p]), n_iters, ~done
+
+
+def test_qc_mega_layered_matches_numpy_oracle():
+    """The layered (serial-C) megakernel schedule (round 5) is pinned
+    against an independent plain-numpy implementation of the exact same
+    schedule: f32 messages, same column/slot op order -> identical
+    totals, iteration counts and failure flags."""
+    from opticommpy_tpu.comm import fec_qc
+
+    n, R = 64800, "4/5"
+    tb = fec_qc.qc_tables(R, n)
+    rng = np.random.default_rng(31)
+    llrs_np = (1.4 + rng.normal(scale=1.5, size=(n, 128))).astype(np.float32)
+    dec = fec_qc.make_qc_decoder(n, R, 3, "NMSA", "f32", backend="mega",
+                                 schedule="layered")
+    out, iters, fail = dec(jnp.asarray(llrs_np))
+    out_o, iters_o, fail_o = _layered_bp_oracle(tb, llrs_np, 3, alpha=0.75)
+    assert np.array_equal(np.asarray(iters), iters_o)
+    assert np.array_equal(np.asarray(fail), fail_o)
+    got = np.asarray(out, np.float32)
+    # sequential f32 adds in both, same order -> exact
+    assert np.array_equal(got, out_o), np.abs(got - out_o).max()
+
+
+@pytest.mark.slow
+def test_qc_mega_layered_converges_faster_and_decodes():
+    """Layered (serial-C) schedule behavioral pin: on real encoded
+    codewords at Es/N0 = 2.3 dB it decodes error-free in ~half the sweeps
+    flooding needs (hardware round-5: mean 10.6 -> 6.0, matching the
+    round-3 convergence study's 1.76-1.83x), and at the 20-iteration
+    budget its FER at the iteration-limited 1.7 dB point is far BELOW
+    flooding's (hardware: 0.016 vs 0.990 on 192 frames — at 20 sweeps the
+    flooding curve is iteration-limited there, and layered ~= flooding at
+    twice the iterations). Schedules differ, so decisions are compared to
+    the TRUE codewords, not to each other."""
+    from opticommpy_tpu.comm import fec_qc
+    from opticommpy_tpu.comm.fec import encode_ldpc, standard_ldpc
+
+    n, R, k = 64800, "4/5", 51840
+    _, edges = standard_ldpc("DVBS2", n, R)
+    dec_f = fec_qc.make_qc_decoder(n, R, 20, "NMSA", "bf16",
+                                   early_exit=True, backend="mega")
+    dec_l = fec_qc.make_qc_decoder(n, R, 20, "NMSA", "bf16",
+                                   early_exit=True, backend="mega",
+                                   schedule="layered")
+    rng = np.random.default_rng(17)
+    B = 32  # pads to the 128-lane mega tile
+    sigma = np.sqrt(0.5 * 10 ** (-2.3 / 10))
+    bits = rng.integers(0, 2, size=(k, B)).astype(np.int8)
+    cw = np.asarray(encode_ldpc(jnp.asarray(bits), edges=edges))
+    y = (1 - 2.0 * cw) + sigma * rng.normal(size=cw.shape)
+    llr = jnp.asarray((2 * y / sigma**2).astype(np.float32))
+    o_f, it_f, fail_f = dec_f(llr)
+    o_l, it_l, fail_l = dec_l(llr)
+    assert not np.asarray(fail_f).any() and not np.asarray(fail_l).any()
+    assert ((np.asarray(o_f, np.float32) < 0).astype(np.int8) == cw).all()
+    assert ((np.asarray(o_l, np.float32) < 0).astype(np.int8) == cw).all()
+    m_f = float(np.asarray(it_f, np.float32).mean())
+    m_l = float(np.asarray(it_l, np.float32).mean())
+    assert m_l < 0.75 * m_f, (m_l, m_f)  # ~0.55-0.6 measured
+
+
 def test_qc_megakernel_rejects_unaligned_batch_tile():
     """qc_decode_mega refuses a batch tile not lane-aligned to 128: its
     manual DMAs slice the lane axis at bt, which Mosaic only compiles for
