@@ -344,6 +344,12 @@ def decodeLDPC(llrs, param):
         config=_fec.LDPCConfig(
             maxIter=getattr(param, "maxIter", 25),
             alg=getattr(param, "alg", "SPA"),
+            # the reference decoder always breaks on parity success
+            # (fec.py:494-497) — its earlyExit is not configurable, so
+            # the compat surface defaults it ON for the standard
+            # lifted/QC graphs that implement it (round 5); custom-H
+            # graphs default off (they would warn and run fixed trips)
+            earlyExit=bool(getattr(param, "earlyExit", graph is not None)),
         ),
     )
 
