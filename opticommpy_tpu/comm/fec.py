@@ -410,6 +410,13 @@ class LDPCConfig:
     # their own convergence; QC decoder only). while_loop, so wall time
     # tracks the slowest codeword instead of maxIter.
     earlyExit: bool = False
+    # BP message-passing schedule: 'flooding' (the reference's; all
+    # backends bit-comparable) or 'layered' (serial-C inside the DVB-S2
+    # QC megakernel only — ~1.8x fewer sweeps to convergence, cashed via
+    # earlyExit; decisions can differ from flooding on marginal
+    # codewords, FER equal or better). 'layered' raises for non-QC
+    # graphs.
+    schedule: str = "flooding"
 
 
 def _padded_rows(rows, cols, m, dmax=None, fill=0):
@@ -891,6 +898,10 @@ def decode_ldpc(llrs, H=None, config: LDPCConfig = LDPCConfig(), graph=None):
 
     qc = graph.get("qc")
     lift = graph.get("lift")
+    if config.schedule == "layered" and qc is None:
+        raise ValueError(
+            "LDPCConfig.schedule='layered' is implemented for DVB-S2 "
+            "quasi-cyclic graphs only (the megakernel); use 'flooding'")
     if config.earlyExit and qc is None and lift is None:
         import warnings
 
@@ -904,7 +915,8 @@ def decode_ldpc(llrs, H=None, config: LDPCConfig = LDPCConfig(), graph=None):
 
         dec = fec_qc.make_qc_decoder(
             qc["n"], qc["R"], int(config.maxIter), config.alg,
-            config.msgDtype, bool(config.earlyExit))
+            config.msgDtype, bool(config.earlyExit),
+            schedule=config.schedule)
         out_llr, n_iters, fail = dec(llrs)
     elif lift is not None:
         # 802.11n / AR4JA lifted-circulant path: rolls, not gathers
