@@ -558,13 +558,16 @@ def run_nl_step_roofline():
         return run
 
     x = jnp.asarray(_field())
+    # best-of-6: the metric is a DIFFERENCE of two ~40 ms slopes, so
+    # per-call jitter that the other metrics absorb shows up here
+    # amplified (observed 7-32 us across runs at best-of-3)
     k1, k2 = 8, 72
     slopes = []
     for with_nl in (False, True):
         r1, r2 = loop(k1, with_nl), loop(k2, with_nl)
         float(r1(x)), float(r2(x))  # compile
-        t1 = min(_timed(lambda: float(r1(x))) for _ in range(3))
-        t2 = min(_timed(lambda: float(r2(x))) for _ in range(3))
+        t1 = min(_timed(lambda: float(r1(x))) for _ in range(6))
+        t2 = min(_timed(lambda: float(r2(x))) for _ in range(6))
         slopes.append((t2 - t1) / (k2 - k1))
     nl_s = slopes[1] - slopes[0]
     peak_bw = _chip_hbm_peak()

@@ -146,6 +146,34 @@ def test_gardner_pallas_matches_while_loop():
     assert np.max(np.abs(np.asarray(tv_w)[:nl] - np.asarray(tv_p)[:nl])) < 1e-5
 
 
+def test_gardner_static_out_prefix_and_jittable():
+    """static_out=True (round 5): the fixed-length output's prefix is
+    identical to the cropped dynamic path, and the call traces under an
+    outer jit (the crop's host sync would fail there)."""
+    rng = np.random.default_rng(8)
+    sps, n_sym = 2, 4000
+    symb = pnorm(modulate_gray(jnp.asarray(rng.integers(0, 2, size=2 * n_sym)),
+                               4, "qam"))
+    pulse = jnp.asarray(pulse_shape("rrc", sps, 512, 0.2))
+    sig = fir_filter(pulse, upsample(symb, sps))
+    sig_off = clock_sampling_interp(sig, 1.0, 1.0 / (1 + 200e-6))
+    cfg = ClockRecoveryConfig(kp=2e-3, ki=1e-5, isNyquist=False)
+    rec = gardner_clock_recovery(sig_off, cfg)
+    rec_s = gardner_clock_recovery(sig_off, cfg, static_out=True)
+    n_out = int((1 - cfg.maxPPM / 1e6) * (sig_off.shape[0] + cfg.lpad))
+    assert rec_s.shape[0] == n_out
+    nl = min(rec.shape[0], rec_s.shape[0])
+    np.testing.assert_array_equal(np.asarray(rec)[:nl],
+                                  np.asarray(rec_s)[:nl])
+
+    @jax.jit
+    def chain(s):
+        return jnp.sum(jnp.abs(gardner_clock_recovery(s, cfg,
+                                                      static_out=True)))
+
+    assert np.isfinite(float(chain(sig_off)))
+
+
 def test_gardner_pallas_two_modes_nyquist():
     """Two polarizations, Nyquist TED, odd length: the wrapper paths."""
     rng = np.random.default_rng(8)
