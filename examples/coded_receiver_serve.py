@@ -40,6 +40,9 @@ if "--signals" in sys.argv:
     i = sys.argv.index("--signals")
     n_signals = int(sys.argv[i + 1])
     del sys.argv[i : i + 2]
+use_layered = "--layered" in sys.argv
+if use_layered:
+    sys.argv.remove("--layered")
 
 import numpy as np
 
@@ -119,7 +122,14 @@ def main():
     Hb[:, 0, 0, 7] = Hb[:, 1, 1, 7] = 1
     cfg = CoherentDSPConfig(nFilterTaps=taps, L=0.5, cpr_window=33,
                             cpr_phases=32, M=16)
-    fcfg = LDPCConfig(maxIter=20, alg="NMSA", msgDtype="bf16")
+    # earlyExit: the reference decoder's break-on-parity serving loop
+    # (the megakernel per-chunk skip on TPU; kept off for the CPU smoke
+    # run — the XLA while_loop variant compiles for minutes there);
+    # --layered additionally switches the BP schedule to serial-C
+    # (~1.8x fewer sweeps, round 5)
+    fcfg = LDPCConfig(maxIter=20, alg="NMSA", msgDtype="bf16",
+                      earlyExit=jax.default_backend() != "cpu",
+                      schedule="layered" if use_layered else "flooding")
     pil = grids[:, :64] / np.sqrt(np.mean(np.abs(grids) ** 2))
 
     # f32 real/imag boundary: complex host->device transfers are
