@@ -206,13 +206,12 @@ def make_qc_decoder(n, R, max_iter, alg="MSA", msg_dtype="f32",
     on_accel = jax.default_backend() != "cpu"
     use_fused = backend in ("fused", "mega") or (
         backend == "auto" and alg in ("MSA", "NMSA") and on_accel)
-    if schedule == "layered":
-        if not (use_fused and (backend == "mega" or on_accel)):
-            raise ValueError(
-                "schedule='layered' needs the megakernel (MSA/NMSA on an "
-                "accelerator, or backend='mega' explicitly for interpret "
-                "mode)")
-        use_fused = True
+    if schedule == "layered" and not (
+            use_fused and (backend == "mega" or on_accel)):
+        raise ValueError(
+            "schedule='layered' needs the megakernel (MSA/NMSA on an "
+            "accelerator, or backend='mega' explicitly for interpret "
+            "mode)")
     if use_fused:
         # 'mega' = whole decode in one resident-totals kernel
         # (kernels/qc_mega.py). Round-4 re-measurement (after fixing the
@@ -405,14 +404,23 @@ def _make_fused_decoder(tb, max_iter, alg, msg_dtype, early_exit,
         B_in = llrs.shape[1]
         bt = pick_bt(B_in, S, msize, msize)
         if want_mega and bt % 128:
+            from opticommpy_tpu.kernels.qc_mega import (MEGA_VMEM_BUDGET,
+                                                        mega_state_bytes)
+
             # the megakernel needs lane-aligned tiles, and VMEM pads the
             # (Z, bt) planes to 128 lanes ANYWAY — padding the batch with
             # +LLR columns (they freeze at the first parity fold; with
             # early exit they never hold a chunk back) costs nothing and
             # lets B < 128 batches run mega instead of falling back to
             # the fused path (round 5; the round-4 B=64 coded receiver
-            # took the fallback for a whole round)
-            bt = 128
+            # took the fallback for a whole round). Only pad when the
+            # padded tile is actually mega-eligible: if the budget will
+            # reject bt=128 anyway (f32 messages), the FUSED fallback
+            # would otherwise pay real compute on a 16x-padded batch
+            # (XLA does not lane-pad its scan carries).
+            if mega_state_bytes(G, q, S, 128, mdt,
+                                schedule) <= MEGA_VMEM_BUDGET:
+                bt = 128
         pad = (-B_in) % bt
         if pad:
             # +LLR columns decode the all-zeros codeword and freeze at the

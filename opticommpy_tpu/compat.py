@@ -347,9 +347,13 @@ def decodeLDPC(llrs, param):
             # the reference decoder always breaks on parity success
             # (fec.py:494-497) — its earlyExit is not configurable, so
             # the compat surface defaults it ON for the standard
-            # lifted/QC graphs that implement it (round 5); custom-H
-            # graphs default off (they would warn and run fixed trips)
-            earlyExit=bool(getattr(param, "earlyExit", graph is not None)),
+            # lifted/QC graphs that implement it (round 5) — on
+            # accelerators only: the XLA:CPU while_loop variant compiles
+            # for minutes, a silent regression for CPU compat users.
+            # Custom-H graphs default off (they would warn + run fixed)
+            earlyExit=bool(getattr(
+                param, "earlyExit",
+                graph is not None and jax.default_backend() != "cpu")),
         ),
     )
 

@@ -249,8 +249,15 @@ def _mega_body(pos_ref, sh_ref, bsh_ref, llr_ref, llrp_ref,
             # the layered parity vote sees MID-sweep totals (there is no
             # single consistent snapshot); at the sweep where done first
             # latches, freeze the END-of-sweep totals — the state the
-            # parity held for, carried one half-sweep further
-            frozen = (done_before[0:1, :] > 0.5) | last
+            # parity held for, carried one half-sweep further. This must
+            # INCLUDE a latch on the final sweep (round-5 review catch:
+            # 'done_before | last' alone reported such codewords
+            # converged while freezing stale sweep-(K-2) totals that had
+            # just FAILED the previous vote — a parity-unverified output
+            # behind fail=False); still-unconverged codewords keep the
+            # previous bookkeeping's totals at last, same as flooding.
+            frozen = ((done_before[0:1, :] > 0.5)
+                      | (last & ~(ok[0:1, :] > 0.5)))
         else:
             # flooding votes on the sweep's INPUT totals, which the
             # previous bookkeeping already wrote to fT — keep them

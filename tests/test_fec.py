@@ -625,7 +625,9 @@ def _layered_bp_oracle(tb, llrs, max_iter, alpha=None):
         last = kk == K - 1
         live = ~done & ~last
         n_iters += live
-        frozen = done_before | last
+        # a latch on the final sweep also writes the end-of-sweep totals
+        # (kernel parity; see qc_mega layered freeze comment)
+        frozen = done_before | (last & ~ok)
         k0 = kk == 0
         fT = np.where(frozen[None, None, :], T if k0 else fT, T)
         fTp = np.where(frozen[None, None, :], Tp if k0 else fTp, Tp)

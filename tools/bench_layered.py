@@ -25,12 +25,10 @@ if "--cpu" in sys.argv:
 
 import numpy as np
 
-import jax.numpy as jnp
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from opticommpy_tpu.comm import fec_qc  # noqa: E402
-from opticommpy_tpu.comm.fec import encode_ldpc, standard_ldpc  # noqa: E402
+from opticommpy_tpu.comm.fec import standard_ldpc  # noqa: E402
 from tools.bench_early_exit import make_llrs, timed_decode  # noqa: E402
 
 N, R = 64800, "4/5"
