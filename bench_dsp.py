@@ -184,9 +184,11 @@ def build_chain():
         (runCR analogue): MF + EDC + pnorm + Pallas Gardner retiming +
         frozen MIMO apply + Pallas BPS, one jit. The Gardner kernel runs
         modes sequentially (lane-packing is structurally blocked by
-        per-lane dynamic offsets — CLAUDE.md roadmap), so ~0.55 Msym/s/
-        mode is the chain's hard ceiling when clock recovery is in the
-        path; this row records what that costs end-to-end."""
+        per-lane dynamic offsets — CLAUDE.md roadmap); measured round 5:
+        the kernel alone does ~1.2 Msym/s/mode at 2^17-symbol blocks
+        (0.6 Msym/s per 2-mode chain — 2.2x the round-1 small-block
+        figure), and this row's end-to-end 0.597 Msym/s shows the rest
+        of the serving chain is nearly free next to it."""
         from opticommpy_tpu.dsp.clock_recovery import (ClockRecoveryConfig,
                                                        gardner_clock_recovery)
         from opticommpy_tpu.kernels.bps_pallas import bps_pallas
