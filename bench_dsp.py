@@ -209,6 +209,60 @@ def build_chain():
         out = y * jnp.exp(1j * est)
         return jnp.mean((out * jnp.conj(out)).real)
 
+    def cr_ffw_frozen_chain(sig_ri, h_ri):
+        """Frozen-tap serving chain with the FEEDFORWARD clock-recovery
+        stage (crMethod='ffw'): per-block spectral-line timing estimate +
+        block-parallel cubic resampler — dense XLA ops only, no
+        recurrence, so unlike the Gardner row the retiming stage costs a
+        few passes over the signal instead of a per-sample NCO loop."""
+        from opticommpy_tpu.dsp.clock_recovery import (FFWClockRecoveryConfig,
+                                                       ffw_clock_recovery)
+        from opticommpy_tpu.kernels.bps_pallas import bps_pallas
+        from opticommpy_tpu.ops.filtering import fir_filter
+
+        sig = (sig_ri[..., 0] + 1j * sig_ri[..., 1]).astype(jnp.complex64)
+        H = (h_ri[..., 0] + 1j * h_ri[..., 1]).astype(jnp.complex64)
+        x = fir_filter(pulse, sig)
+        x = edc(x, edc_cfg)
+        x = pnorm(x)
+        x = ffw_clock_recovery(x, FFWClockRecoveryConfig(rollOff=0.01))
+        # v5e 2^17 syms (same run): gardner row 0.587, this row 4.491,
+        # batch-8 16.52 Msym/s — the feedforward stage removes the
+        # sequential-NCO ceiling from the clock-recovered serving path.
+        y = mimo_apply(H, pnorm(x), SPS)
+        est = bps_pallas(y, 32, const, 64,
+                         interpret=jax.default_backend() == "cpu")
+        out = y * jnp.exp(1j * est)
+        return jnp.mean((out * jnp.conj(out)).real)
+
+    def cr_ffw_batch_chain(sig_b_ri, h_b_ri):
+        """Batch-8 serving chain with the feedforward CR stage vmapped
+        per signal (each signal gets its own clock estimate — independent
+        ADCs), then one lane-packed BPS call."""
+        from opticommpy_tpu.dsp.clock_recovery import (FFWClockRecoveryConfig,
+                                                       ffw_clock_recovery)
+        from opticommpy_tpu.kernels.bps_pallas import bps_pallas
+        from opticommpy_tpu.ops.filtering import fir_filter
+
+        cr_cfg = FFWClockRecoveryConfig(rollOff=0.01)
+
+        def one(sr, hr):
+            sig = (sr[..., 0] + 1j * sr[..., 1]).astype(jnp.complex64)
+            H = (hr[..., 0] + 1j * hr[..., 1]).astype(jnp.complex64)
+            x = fir_filter(pulse, sig)
+            x = edc(x, edc_cfg)
+            x = pnorm(x)
+            x = ffw_clock_recovery(x, cr_cfg)
+            return mimo_apply(H, pnorm(x), SPS)
+
+        y = jax.vmap(one)(sig_b_ri, h_b_ri)  # (B, nSym, 2)
+        b, n_sym_, m = y.shape
+        y_cols = jnp.moveaxis(y, 0, 1).reshape(n_sym_, b * m)
+        est = bps_pallas(y_cols, 32, const, 64,
+                         interpret=jax.default_backend() == "cpu")
+        out = y_cols * jnp.exp(1j * est)
+        return jnp.mean((out * jnp.conj(out)).real)
+
     def pallas_chain(sig_ri, h_ri):
         from opticommpy_tpu.kernels.bps_pallas import bps_pallas
         from opticommpy_tpu.kernels.mimo_pallas import mimo_eq_pallas
@@ -237,7 +291,8 @@ def build_chain():
     return (adaptive_chain, frozen_chain, pallas_chain, fused_chain,
             fused_batch_chain, adaptive_batch_chain,
             jnp.asarray(sig_ri), jnp.asarray(h0),
-            adaptive_batch_multistage_chain, cr_frozen_chain)
+            adaptive_batch_multistage_chain, cr_frozen_chain,
+            cr_ffw_frozen_chain, cr_ffw_batch_chain)
 
 
 def time_fn(fn, *args, reps=3):
@@ -394,18 +449,20 @@ def bench_ofdm(batch=8, n_frames=273):
 
 def main():
     (adaptive, frozen, pallas, fused, fused_batch, adaptive_batch,
-     sig, h0, adaptive_batch_ms, cr_frozen) = build_chain()
+     sig, h0, adaptive_batch_ms, cr_frozen, cr_ffw, cr_ffw_b) = build_chain()
     t_ad = time_fn(adaptive, sig, h0)
     t_fr = time_fn(frozen, sig, h0)
     t_pl = time_fn(pallas, sig, h0)
     t_fu = time_fn(fused, sig, h0)
     t_cr = time_fn(cr_frozen, sig, h0)
+    t_crf = time_fn(cr_ffw, sig, h0)
     batch = 8
     sig_b = jnp.broadcast_to(sig, (batch,) + sig.shape)
     h_b = jnp.broadcast_to(h0, (batch,) + h0.shape)
     t_fb = time_fn(fused_batch, sig_b, h_b)
     t_ab = time_fn(adaptive_batch, sig_b, h_b)
     t_ams = time_fn(adaptive_batch_ms, sig_b, h_b)
+    t_crfb = time_fn(cr_ffw_b, sig_b, h_b)
     print(json.dumps({
         "metric": "coherent DSP chain (MF+EDC+2x2 MIMO+BPS), 16QAM polmux",
         "adaptive_Msym_per_s": round(N_SYM / t_ad / 1e6, 3),
@@ -415,6 +472,8 @@ def main():
             batch * N_SYM / t_ams / 1e6, 3),
         "frozen_tap_Msym_per_s": round(N_SYM / t_fr / 1e6, 3),
         "frozen_tap_with_cr_Msym_per_s": round(N_SYM / t_cr / 1e6, 3),
+        "frozen_tap_with_cr_ffw_Msym_per_s": round(N_SYM / t_crf / 1e6, 3),
+        "cr_ffw_batch8_Msym_per_s": round(batch * N_SYM / t_crfb / 1e6, 3),
         "fused_frozen_Msym_per_s": round(N_SYM / t_fu / 1e6, 3),
         "fused_batch8_Msym_per_s": round(batch * N_SYM / t_fb / 1e6, 3),
         "n_symbols": N_SYM,

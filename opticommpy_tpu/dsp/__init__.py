@@ -14,6 +14,8 @@ from opticommpy_tpu.dsp.carrier_recovery import (  # noqa: F401
     viterbi,
 )
 from opticommpy_tpu.dsp.clock_recovery import (  # noqa: F401
+    FFWClockRecoveryConfig,
+    ffw_clock_recovery,
     ClockRecoveryConfig,
     calc_clock_drift,
     gardner_clock_recovery,

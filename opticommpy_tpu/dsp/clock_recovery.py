@@ -17,10 +17,12 @@ from scipy.signal import find_peaks
 
 __all__ = [
     "ClockRecoveryConfig",
+    "FFWClockRecoveryConfig",
     "gardner_ted",
     "gardner_ted_nyquist",
     "interpolator",
     "gardner_clock_recovery",
+    "ffw_clock_recovery",
     "calc_clock_drift",
 ]
 
@@ -159,6 +161,200 @@ def gardner_clock_recovery(sig, config: ClockRecoveryConfig = ClockRecoveryConfi
         eo = eo[:, 0]
         tv = tv[:, 0]
     return (eo, tv) if return_timing else eo
+
+
+@dataclass(frozen=True)
+class FFWClockRecoveryConfig:
+    """Feedforward (block-parallel) clock recovery parameters.
+
+    TPU-first alternative to the Gardner PI/NCO loop: the sequential
+    recurrence is replaced by a per-block spectral-line timing estimator
+    plus a fully parallel cubic resampler, so the whole stage is dense
+    XLA ops (batched FFTs, reductions, slices) with no per-sample
+    dependence. Functional counterpart of reference
+    ``optic/dsp/clockRecovery.py:85`` for the constant/slowly-varying
+    clock-offset case (the dominant ADC impairment model,
+    ``core.py:272`` ``clockSamplingInterp``).
+    """
+
+    # samples per timing-estimation block. The mod-1-symbol unwrap of the
+    # per-block estimates limits the trackable clock offset to
+    # |ppm| < 0.5 * sps / blockLen * 1e6 (488 ppm at the default);
+    # shorten the block for larger offsets (noisier per-block estimates,
+    # compensated by the fit), lengthen it for low-SNR small offsets.
+    blockLen: int = 2048
+    maxPPM: float = 500.0  # static output-length contract, as Gardner
+    rollOff: float = 0.1  # pulse excess bandwidth (sets the spectral window)
+    fit: str = "linear"  # 'linear' (constant clock offset) | 'pwl' (tracking)
+    sps: int = 2  # samples/symbol of the input
+
+
+def _ffw_timing_estimate(x, L, W):
+    """Per-block Godard/O&M timing phase at 2 samples/symbol.
+
+    Computes ``A_b = sum_k X_b[k] conj(X_b[k - L/2])`` over a window of
+    bins around ``k = L/4`` — the POSITIVE-frequency band-edge overlap
+    only. (Summing the full spectrum gives the DFT of ``|x|^2`` at
+    Nyquist, which is real-valued: at 2 SpS the symbol-rate tone sits
+    exactly at Nyquist and its phase is unobservable — the classic
+    degeneracy. The single-sided sum keeps the analytic part, whose
+    phase is ``-2*pi*tau/T``.)
+
+    Returns the unwrapped per-block timing ``tau`` (symbols) and the
+    estimator magnitudes ``|A_b|`` (fit weights).
+    """
+    nb = x.shape[0] // L
+    xb = x[: nb * L].reshape(nb, L, -1)
+    X = jnp.fft.fft(xb, axis=1)
+    Xs = jnp.roll(X, L // 2, axis=1)
+    sl = slice(L // 4 - W, L // 4 + W)
+    A = jnp.sum(X[:, sl] * jnp.conj(Xs[:, sl]), axis=(1, 2))
+    eps = -jnp.angle(A) / (2 * jnp.pi)  # symbols, in [-0.5, 0.5)
+    d = eps[1:] - eps[:-1]
+    d = (d + 0.5) % 1.0 - 0.5  # unwrap mod one symbol
+    tau = jnp.concatenate([eps[:1], eps[0] + jnp.cumsum(d)])
+    return tau, jnp.abs(A)
+
+
+def _resample_cubic_blocks(x, off, block=2048):
+    """Evaluate ``y[i] = x(i + off[i])`` by block-parallel cubic interp.
+
+    ``off`` is the (small, slowly varying) timing offset in samples —
+    passing the offset rather than the absolute position ``i + off[i]``
+    keeps f32 timing resolution independent of the signal length (at
+    N=2^20 an absolute f32 position quantizes to 1/16 sample; the offset
+    stays exact to ~1e-5). Blocks of ``block`` outputs share one
+    dynamically-offset CONTIGUOUS input window (the fast gather shape on
+    this backend — see CLAUDE.md gather rule); within a block the 4-tap
+    cubic is a sum over ~12 statically shifted slices weighted by
+    per-sample coefficient planes, so there are no per-sample gathers.
+    """
+    n_in, modes = x.shape
+    n_out = off.shape[0]
+    nb = -(-n_out // block)
+    n_pad = nb * block - n_out
+    off = jnp.concatenate([off, jnp.full((n_pad,), off[-1], off.dtype)])
+    off_fl = jnp.floor(off)
+    i_out = jnp.arange(nb * block, dtype=jnp.int32)
+    base = jnp.clip(i_out + off_fl.astype(jnp.int32), 1, n_in - 3)
+    frac = (off - off_fl).astype(jnp.float32)
+
+    S_LO, S_RANGE = 4, 10  # shift slack: |slope-1|*block <= ~2 plus margins
+    lw = block + S_RANGE + 4
+    xpad = jnp.pad(x, ((S_LO + 2, S_RANGE + 8), (0, 0)))
+    starts = base[::block] - 1 - S_LO  # tap0 of each block's first output
+    win = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(xpad, s + S_LO + 2, lw)
+    )(starts)  # (nb, lw, modes) — contiguous-row gather
+
+    j = jnp.arange(block)
+    base_b = base.reshape(nb, block)
+    frac_b = frac.reshape(nb, block)
+    # tap0 (= base-1) position inside the window, minus the output index
+    s = base_b - 1 - starts[:, None] - j[None, :]  # in [0, S_RANGE)
+    f = frac_b
+    # Lagrange cubic on nodes {-1,0,1,2} evaluated at f in [0,1)
+    c = (
+        -f * (f - 1) * (f - 2) / 6,
+        (f + 1) * (f - 1) * (f - 2) / 2,
+        -f * (f + 1) * (f - 2) / 2,
+        f * (f + 1) * (f - 1) / 6,
+    )
+    out = jnp.zeros((nb, block, modes), dtype=x.dtype)
+    for u in range(S_RANGE + 3):
+        coef = jnp.zeros_like(f)
+        for tap in range(4):
+            coef = coef + jnp.where(s == u - tap, c[tap], 0.0)
+        out = out + coef[..., None] * jax.lax.dynamic_slice_in_dim(
+            win, u, block, axis=1
+        )
+    return out.reshape(nb * block, modes)[:n_out]
+
+
+def ffw_clock_recovery(sig, config: FFWClockRecoveryConfig = FFWClockRecoveryConfig(),
+                       return_est=False):
+    """Feedforward block-parallel clock recovery (no recurrence).
+
+    Pipeline (one jit, static shapes): per-block band-edge spectral-line
+    timing estimates (joint over modes — one ADC clock), mod-1-symbol
+    unwrap, |A|-weighted linear fit (``fit='linear'``) or smoothed
+    piecewise-linear interpolation (``fit='pwl'``) of the timing
+    trajectory, then block-parallel cubic resampling of all modes on the
+    corrected grid. Output length is STATIC at
+    ``(1 - maxPPM/1e6) * n_in`` (same contract as
+    ``gardner_clock_recovery(static_out=True)``), so it composes into
+    one-jit chains; the T/2 equalizer absorbs the residual phase.
+
+    Behavioral counterpart of reference ``clockRecovery.py:85`` for
+    constant or slowly varying sampling-clock offsets; unlike the
+    Gardner NCO it has no feedback loop, so throughput is that of a few
+    dense passes over the signal (~2 orders above the sequential loop).
+
+    Returns the retimed signal, plus ``(ppm_est, tau_blocks)`` if
+    ``return_est``.
+    """
+    cfg = config
+    sig = jnp.asarray(sig)
+    squeeze = sig.ndim == 1
+    if squeeze:
+        sig = sig[:, None]
+    n_in = sig.shape[0]
+    L = cfg.blockLen
+    sps = cfg.sps
+    if n_in < 2 * L:
+        raise ValueError(f"need >= {2 * L} samples for {L}-sample blocks")
+    W = max(8, int(cfg.rollOff * L / 4) + 32)
+    tau, w = _ffw_timing_estimate(sig, L, W)
+    nb = tau.shape[0]
+
+    # |A|-weighted least squares tau ~ a + b*block (timing drifts
+    # ppm*1e-6*L/sps symbols per block for a ppm clock offset)
+    idx = jnp.arange(nb, dtype=jnp.float32)
+    sw = jnp.sum(w)
+    sx = jnp.sum(w * idx)
+    sy = jnp.sum(w * tau)
+    sxx = jnp.sum(w * idx * idx)
+    sxy = jnp.sum(w * idx * tau)
+    slope = (sw * sxy - sx * sy) / (sw * sxx - sx * sx)
+    max_slope = cfg.maxPPM * 1e-6 * L / sps
+    slope = jnp.clip(slope, -max_slope, max_slope)
+    intercept = (sy - slope * sx) / sw
+    delta = slope * sps / L  # fractional clock offset (samples/sample)
+    ppm_est = delta * 1e6
+
+    n_out = int((1 - cfg.maxPPM / 1e6) * n_in)
+    i = jnp.arange(n_out, dtype=jnp.float32)
+    if cfg.fit == "linear":
+        # tau_b is measured over block b centered at (b + 1/2)*L, so the
+        # intercept refers to the block-0 CENTER: offset at sample i is
+        # sps*(intercept + slope*(i - L/2)/L). Wrap the constant part to
+        # +-1 sample (half symbol) so the stage never introduces an
+        # integer-symbol slip against an upstream symbol_sync reference.
+        phi = intercept * sps - delta * (L / 2)
+        phi = (phi + sps / 2) % sps - sps / 2
+        off = i * delta + phi
+    elif cfg.fit == "pwl":
+        # smooth the per-block timing with a short triangular kernel,
+        # then piecewise-linear interpolate between block centers —
+        # tracks slowly varying (e.g. thermal) clock drift the single
+        # global line cannot.
+        kern = jnp.asarray([1.0, 2.0, 3.0, 2.0, 1.0]) / 9.0
+        tau_s = jnp.convolve(jnp.pad(tau, (2, 2), mode="edge"), kern,
+                             mode="valid")
+        phi0 = tau_s[0] * sps
+        phi0_w = (phi0 + sps / 2) % sps - sps / 2
+        tau_s = tau_s - tau_s[0]
+        pos = (i - L / 2) / L  # sample i in units of block index
+        k = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, nb - 2)
+        fr = jnp.clip(pos - k, 0.0, None)  # extrapolate linearly at ends
+        tau_i = tau_s[k] * (1 - fr) + tau_s[k + 1] * fr
+        off = sps * tau_i + phi0_w
+    else:
+        raise ValueError(f"unknown fit mode {cfg.fit!r}")
+    y = _resample_cubic_blocks(sig, off)
+    if squeeze:
+        y = y[:, 0]
+    return (y, (ppm_est, tau)) if return_est else y
 
 
 def calc_clock_drift(t_nco_values):

@@ -83,11 +83,21 @@ class CoherentDSPConfig:
     # fractionally-spaced equalizer then absorbs the residual sampling
     # PHASE, so no further interpolation stage is needed.
     runCR: bool = False
+    # 'gardner' runs the reference's PI/NCO feedback loop (sequential
+    # recurrence; crBackend picks the Pallas kernel or the while_loop).
+    # 'ffw' runs the feedforward block-parallel recovery
+    # (dsp.clock_recovery.ffw_clock_recovery): per-block band-edge
+    # spectral-line timing estimates + parallel cubic resampling — no
+    # recurrence, so the stage costs a few dense passes instead of a
+    # per-sample loop (the TPU serving path for clock offsets).
+    crMethod: str = "gardner"
     crBackend: str = "pallas"  # 'pallas' (TPU kernel) | 'scan' (while_loop)
     crKp: float = 2e-3
     crKi: float = 1e-5
     crMaxPPM: float = 500.0
     crNyquist: bool = False
+    crBlockLen: int = 4096  # ffw estimation block (samples)
+    crFit: str = "linear"  # ffw drift model: 'linear' | 'pwl'
 
 
 def _stage_lengths(cfg: CoherentDSPConfig, n_sym: int):
@@ -141,14 +151,25 @@ def coherent_dsp_chain(sig, symb_ref, config: CoherentDSPConfig = CoherentDSPCon
         # in, retimed 2-SpS signal out — clockRecovery.py:85, exercised in
         # examples/test_clockRecovery.ipynb). static_out keeps the chain
         # one-jit; the T/2-spaced equalizer absorbs the residual phase.
-        from opticommpy_tpu.dsp.clock_recovery import (ClockRecoveryConfig,
-                                                       gardner_clock_recovery)
+        if cfg.crMethod == "ffw":
+            from opticommpy_tpu.dsp.clock_recovery import (
+                FFWClockRecoveryConfig, ffw_clock_recovery)
 
-        cr_cfg = ClockRecoveryConfig(kp=cfg.crKp, ki=cfg.crKi,
-                                     isNyquist=cfg.crNyquist,
-                                     maxPPM=cfg.crMaxPPM)
-        x = gardner_clock_recovery(x, cr_cfg, backend=cfg.crBackend,
-                                   static_out=True)
+            x = ffw_clock_recovery(
+                x, FFWClockRecoveryConfig(blockLen=cfg.crBlockLen,
+                                          maxPPM=cfg.crMaxPPM,
+                                          rollOff=cfg.rollOff,
+                                          fit=cfg.crFit,
+                                          sps=cfg.SpS_dsp))
+        else:
+            from opticommpy_tpu.dsp.clock_recovery import (
+                ClockRecoveryConfig, gardner_clock_recovery)
+
+            cr_cfg = ClockRecoveryConfig(kp=cfg.crKp, ki=cfg.crKi,
+                                         isNyquist=cfg.crNyquist,
+                                         maxPPM=cfg.crMaxPPM)
+            x = gardner_clock_recovery(x, cr_cfg, backend=cfg.crBackend,
+                                       static_out=True)
         x = pnorm(x)
         n_sym_cr = x.shape[0] // cfg.SpS_dsp
         if n_sym > n_sym_cr:

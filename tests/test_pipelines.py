@@ -87,17 +87,18 @@ def test_coherent_pipeline_pallas_backend():
     assert float(jnp.max(ber)) < 1e-2, np.asarray(ber)
 
 
-def test_coherent_pipeline_with_clock_recovery():
-    """One-jit chain with the Gardner stage: a +200 ppm receiver-clock
-    offset (plus sampling jitter) that breaks the plain chain is absorbed
-    by runCR=True (VERDICT r4 item 3; reference clockRecovery.py:85 +
-    test_clockRecovery.ipynb compose clock recovery the same way).
+_CR_SCENARIO = {}
 
-    Offset choice: at 50 ppm the fractionally-spaced DD-LMS tracks the
-    drift by itself (measured BER 0.0047 vs 0.0041 with CR) — the drift
-    over the record stays inside the tap span. 200 ppm slips ~6.5 samples
-    across the record: plain-chain BER 0.42, CR-chain 0.0033 (CPU mesh,
-    this exact seed)."""
+
+def _cr_offset_scenario():
+    """Shared 200-ppm clock-offset link for the CR chain tests.
+
+    Receiver ADC runs 200 ppm fast with sampling jitter; at 50 ppm the
+    fractionally-spaced DD-LMS tracks the drift by itself (measured BER
+    0.0047 vs 0.0041 with CR) — 200 ppm slips ~6.5 samples across the
+    record and breaks the plain chain (BER 0.42)."""
+    if _CR_SCENARIO:
+        return _CR_SCENARIO["v"]
     from opticommpy_tpu.ops.signal import clock_sampling_interp
 
     key = jax.random.PRNGKey(35)
@@ -130,6 +131,17 @@ def test_coherent_pipeline_with_clock_recovery():
     n_sym_cr = (sig_off.shape[0] // (8 // 2)
                 * 999) // 1000 // 2 * 2  # conservative post-CR budget
     d_cr = d_ref[:min(8000, n_sym_cr)]
+    _CR_SCENARIO["v"] = (sig_off, d_cr)
+    return _CR_SCENARIO["v"]
+
+
+def test_coherent_pipeline_with_clock_recovery():
+    """One-jit chain with the Gardner stage: a +200 ppm receiver-clock
+    offset (plus sampling jitter) that breaks the plain chain is absorbed
+    by runCR=True (VERDICT r4 item 3; reference clockRecovery.py:85 +
+    test_clockRecovery.ipynb compose clock recovery the same way).
+    CR-chain BER 0.0033 (CPU mesh, this exact seed)."""
+    sig_off, d_cr = _cr_offset_scenario()
     cfg = CoherentDSPConfig(SpS_in=8, nFilterTaps=512, L=50, nTrain=4000,
                             runCR=True, crBackend="scan", crNyquist=True,
                             crKp=2e-3, crKi=1e-5)
@@ -146,6 +158,21 @@ def test_coherent_pipeline_with_clock_recovery():
         sig_off, d_cr)
     ber_n, _, _ = fast_ber_calc(y_n[disc:-100], d_cr[disc:-100], 16, "qam")
     assert float(jnp.max(ber_n)) > 10 * float(jnp.max(ber))
+
+
+def test_coherent_pipeline_with_ffw_clock_recovery():
+    """The same 200-ppm offset link through crMethod='ffw' — the
+    feedforward block-parallel recovery (spectral-line estimate +
+    parallel resampler, no recurrence) recovers the link like the
+    Gardner loop does, at dense-XLA cost instead of a per-sample NCO."""
+    sig_off, d_cr = _cr_offset_scenario()
+    cfg = CoherentDSPConfig(SpS_in=8, nFilterTaps=512, L=50, nTrain=4000,
+                            runCR=True, crMethod="ffw")
+    chain = jax.jit(lambda s, d: coherent_dsp_chain(s, d, cfg))
+    y, _ = chain(sig_off, d_cr)
+    disc = 5000
+    ber, _, _ = fast_ber_calc(y[disc:-100], d_cr[disc:-100], 16, "qam")
+    assert float(jnp.max(ber)) < 1e-2, np.asarray(ber)
 
 
 def test_coherent_pipeline_4x4_modes():
