@@ -192,6 +192,36 @@ def run_dsp_chain(batch=8):
     return batch * bench_dsp.N_SYM / min(times) / 1e6
 
 
+def run_cr_chain(batch=8):
+    """Clock-recovered serving chain (feedforward CR), batch-8 Msym/s.
+
+    Same serving workload as run_dsp_chain plus a per-signal clock
+    recovery stage — the feedforward block-parallel method
+    (dsp.clock_recovery.ffw_clock_recovery: spectral-line timing
+    estimate + parallel cubic resampler, no recurrence). The Gardner-NCO
+    version of this row lives in bench_dsp.py (~0.59 Msym/s on v5e: the
+    sequential loop is the ceiling); the feedforward stage keeps the
+    chain within ~10% of the CR-free serving rate.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import bench_dsp
+
+    out = bench_dsp.build_chain()
+    cr_ffw_b, sig, h0 = out[11], out[6], out[7]
+    sig_b = jnp.broadcast_to(sig, (batch,) + sig.shape)
+    h_b = jnp.broadcast_to(h0, (batch,) + h0.shape)
+    run = jax.jit(cr_ffw_b)
+    float(run(sig_b, h_b))  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(sig_b, h_b))
+        times.append(time.perf_counter() - t0)
+    return batch * bench_dsp.N_SYM / min(times) / 1e6
+
+
 def run_adaptive_train(n_sym=2**16):
     """One-jit adaptive receiver chain INCL. multi-stage training, Msym/s.
 
@@ -643,6 +673,7 @@ def main():
             return None
 
     chain = _aux("dsp_chain", lambda: round(run_dsp_chain(), 3))
+    cr_chain = _aux("cr_chain", lambda: round(run_cr_chain(), 3))
     train = _aux("adaptive_train", lambda: round(run_adaptive_train(), 3))
     train_b8 = _aux("adaptive_train_b8",
                     lambda: round(run_adaptive_train_b8(), 3))
@@ -682,6 +713,8 @@ def main():
     result.update(flop_analytics(tpu_sps))
     if chain is not None:
         result["dsp_chain_Msym_per_s_batch8"] = chain
+    if cr_chain is not None:
+        result["cr_chain_ffw_Msym_per_s_b8"] = cr_chain
     if train is not None:
         result["adaptive_train_Msym_per_s"] = train
     if train_b8 is not None:
