@@ -331,17 +331,42 @@ def coherent_dsp_chain_batch(sig_batch, symb_ref_batch,
     edc_cfg = EDCConfig(L=cfg.L, D=cfg.D, Fc=cfg.Fc, Fs=fs_dsp, Rs=cfg.Rs)
     interp = jax.default_backend() == "cpu"
 
+    if cfg.runCR and cfg.crMethod != "ffw":
+        raise NotImplementedError(
+            "coherent_dsp_chain_batch supports clock recovery only with "
+            "crMethod='ffw' (the feedforward stage vmaps per signal; the "
+            "Gardner NCO recurrence has no batched kernel — run "
+            "coherent_dsp_chain per signal for that)")
+    if cfg.runCR:
+        from opticommpy_tpu.dsp.clock_recovery import (
+            FFWClockRecoveryConfig, ffw_clock_recovery)
+
+        cr_cfg = FFWClockRecoveryConfig(blockLen=cfg.crBlockLen,
+                                        maxPPM=cfg.crMaxPPM,
+                                        rollOff=cfg.rollOff, fit=cfg.crFit,
+                                        sps=cfg.SpS_dsp)
+
     def front(sig):
         x = fir_filter(jnp.asarray(pulse), sig)
         x = decimate(x, cfg.SpS_in, cfg.SpS_dsp)
         x = edc(x, edc_cfg)
         x = pnorm(x)
+        if cfg.runCR:
+            # per-signal feedforward retiming (each signal has its own
+            # ADC clock); static output length, as in coherent_dsp_chain
+            x = pnorm(ffw_clock_recovery(x, cr_cfg))
         if cfg.runFOE:
             x, _ = fourth_power_foe(x, fs_dsp, 4)
             x = pnorm(x)
         return x
 
     x = jax.vmap(front)(sig_batch)  # (B, n_dsp, modes)
+    if cfg.runCR and symb_ref_batch.shape[1] > x.shape[1] // cfg.SpS_dsp:
+        raise ValueError(
+            f"symb_ref_batch has {symb_ref_batch.shape[1]} symbols but "
+            f"clock recovery retains only {x.shape[1] // cfg.SpS_dsp} "
+            "((1 - crMaxPPM/1e6) * n_samples / SpS_dsp) — trim the "
+            "reference")
     const_np = gray_mapping(cfg.M, "qam")
     const_np = (const_np / np.sqrt(np.mean(np.abs(const_np) ** 2))
                 ).astype(np.complex64)

@@ -132,6 +132,7 @@ def _cr_offset_scenario():
                 * 999) // 1000 // 2 * 2  # conservative post-CR budget
     d_cr = d_ref[:min(8000, n_sym_cr)]
     _CR_SCENARIO["v"] = (sig_off, d_cr)
+    _CR_SCENARIO["rx"] = (sig_rx, fs)
     return _CR_SCENARIO["v"]
 
 
@@ -173,6 +174,42 @@ def test_coherent_pipeline_with_ffw_clock_recovery():
     disc = 5000
     ber, _, _ = fast_ber_calc(y[disc:-100], d_cr[disc:-100], 16, "qam")
     assert float(jnp.max(ber)) < 1e-2, np.asarray(ber)
+
+
+def test_coherent_batch_chain_with_ffw_clock_recovery():
+    """coherent_dsp_chain_batch(runCR=True, crMethod='ffw'): two signals
+    with DIFFERENT receiver clock offsets (+200 / -150 ppm) through one
+    batched program — each signal gets its own feedforward clock
+    estimate, and both recover. Gardner in the batch chain raises (no
+    batched NCO kernel)."""
+    import pytest
+
+    from opticommpy_tpu.ops.signal import clock_sampling_interp
+    from opticommpy_tpu.pipelines import coherent_dsp_chain_batch
+
+    sig_off, d_cr = _cr_offset_scenario()
+    sig_rx, fs = _CR_SCENARIO["rx"]
+    k_j2 = jax.random.PRNGKey(77)
+    sig_off2 = clock_sampling_interp(sig_rx, fs, fs * (1 - 150e-6),
+                                     jitter_rms=1e-3 / fs, key=k_j2)
+    n = min(sig_off.shape[0], sig_off2.shape[0])
+    sig_b = jnp.stack([sig_off[:n], sig_off2[:n]])
+    d_b = jnp.stack([d_cr, d_cr])
+
+    cfg = CoherentDSPConfig(SpS_in=8, nFilterTaps=512, L=50,
+                            nTrain=4000, runCR=True, crMethod="ffw")
+    y, _ = jax.jit(
+        lambda s, d: coherent_dsp_chain_batch(s, d, cfg))(sig_b, d_b)
+    disc = 5000
+    for b in range(2):
+        ber, _, _ = fast_ber_calc(y[b, disc:-100], d_b[b, disc:-100],
+                                  16, "qam")
+        assert float(jnp.max(ber)) < 1e-2, (b, np.asarray(ber))
+
+    with pytest.raises(NotImplementedError):
+        coherent_dsp_chain_batch(
+            sig_b, d_b,
+            CoherentDSPConfig(runCR=True, crMethod="gardner"))
 
 
 def test_coherent_pipeline_4x4_modes():
