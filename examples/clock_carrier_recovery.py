@@ -50,7 +50,7 @@ rng = np.random.default_rng(3)
 
 # --- clock recovery --------------------------------------------------------
 symb = pnorm(modulate_gray(jnp.asarray(rng.integers(0, 2, 2 * n_sym)), 4, "qam"))
-pulse = jnp.asarray(pulse_shape("rrc", sps, 512, 0.2))
+pulse = jnp.asarray(pulse_shape("rrc", sps, 513, 0.2))  # ODD taps: no half-sample shift (CLAUDE.md gotcha)
 sig = fir_filter(pulse, upsample(symb, sps))
 ppm_true = 200e-6
 sig_off = clock_sampling_interp(sig, 1.0, 1.0 / (1 + ppm_true))
@@ -63,6 +63,23 @@ ppm_est = calc_clock_drift(np.asarray(timing))
 est = float(np.ravel(ppm_est)[0])
 print(f"clock recovery: applied {1e6*ppm_true:.0f} ppm sampling offset, "
       f"NCO tracked {abs(est):.0f} ppm (sign = NCO correction direction)")
+
+# --- feedforward clock recovery (TPU-first, no recurrence) -----------------
+from opticommpy_tpu.dsp.clock_recovery import (  # noqa: E402
+    FFWClockRecoveryConfig,
+    ffw_clock_recovery,
+)
+
+rec_f, (ppm_f, _) = jax.jit(
+    lambda s: ffw_clock_recovery(
+        s, FFWClockRecoveryConfig(rollOff=0.2), return_est=True))(sig_off)
+err = np.mean(np.abs(np.asarray(rec_f)[64:-64]
+                     - np.asarray(sig)[64:rec_f.shape[0] - 64]) ** 2)
+err /= np.mean(np.abs(np.asarray(sig)) ** 2)
+print(f"feedforward clock recovery: estimated {float(ppm_f):+.1f} ppm "
+      f"(block spectral-line estimator, parallel resampler; residual "
+      f"{10*np.log10(err):.1f} dB vs the clean waveform — dominated by the "
+      f"impairment model's own linear interpolation, not the estimator)")
 
 # --- carrier recovery ------------------------------------------------------
 n2 = 20000
