@@ -949,3 +949,51 @@ def test_lift_decoder_corrects_errors_and_early_exit():
     assert np.array_equal(np.asarray(b1[0]), cw2)
     for u, v in zip(b1, b2):
         assert np.array_equal(np.asarray(u), np.asarray(v))
+
+
+def test_lift_pallas_iteration_matches_xla():
+    """The fused Pallas lift iteration (kernels/lift_pallas.py, opt-in
+    backend='pallas', interpret on CPU): decisions, iteration counts and
+    fail flags IDENTICAL to the XLA slice-roll path, soft totals to f32
+    sum-order tolerance — for both the fixed-iteration scan and the
+    early-exit while_loop. Also audits that the kernel actually executes
+    (fallback-audit pattern, round-4 lesson) and that ineligible lifts
+    (802.11n Z=81, sublane-unaligned) raise instead of silently routing."""
+    from unittest import mock
+
+    import pytest
+
+    from opticommpy_tpu.comm import fec_lift
+    from opticommpy_tpu.kernels import lift_pallas
+
+    rng = np.random.default_rng(13)
+    n, R, B = 2048, 0.5, 24
+    tb = fec_lift.lift_tables("AR4JA", n, R)
+    ncols = tb["V"] * tb["L"]
+    llrs = jnp.asarray((rng.normal(size=(ncols, B)) * 2 + 1.5
+                        ).astype(np.float32))
+    for ee in (False, True):
+        dx = fec_lift.make_lift_decoder("AR4JA", n, R, 12, "NMSA", "bf16",
+                                        ee, backend="xla")
+        with mock.patch.object(
+                lift_pallas, "lift_iter_pallas",
+                wraps=lift_pallas.lift_iter_pallas) as spy:
+            dp = fec_lift._make_lift_decoder("AR4JA", n, R, 12, "NMSA",
+                                             "bf16", ee, "pallas")
+            ox, ix, fx = dx(llrs)
+            op, ip_, fp = dp(llrs)
+            assert spy.call_count > 0, "pallas lift kernel never ran"
+        assert bool(jnp.all((ox > 0) == (op > 0))), ee
+        assert bool(jnp.all(ix == ip_)), ee
+        assert bool(jnp.all(fx == fp)), ee
+        rel = float(jnp.max(jnp.abs(ox - op)) / jnp.max(jnp.abs(ox)))
+        assert rel < 1e-5, (ee, rel)
+
+    # unaligned lift (802.11n Z=81) must raise, not silently fall back
+    with pytest.raises(ValueError, match="L%8"):
+        fec_lift._make_lift_decoder("IEEE_802.11nD2", 1944, 0.5, 12,
+                                    "NMSA", "bf16", False, "pallas")
+    # 'auto' resolves to the XLA path (kernel is explicit opt-in)
+    dauto = fec_lift.make_lift_decoder("AR4JA", n, R, 12, "NMSA", "bf16")
+    assert dauto is fec_lift._make_lift_decoder(
+        "AR4JA", n, R, 12, "NMSA", "bf16", False, "xla")
