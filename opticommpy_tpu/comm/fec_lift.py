@@ -181,12 +181,19 @@ def make_lift_decoder(mode, n, R, max_iter, alg="MSA", msg_dtype="f32",
     tolerance). 'auto' picks the kernel on an accelerator when eligible.
     """
     if backend == "auto":
-        # 'auto' stays on the XLA path: the fused kernel measured only
-        # parity-to-+4% on v5e (AR4JA 2048/8192, B=1024 — both paths are
-        # VPU-op-bound at ~8x the HBM bound; see CLAUDE.md round-5
-        # continuation notes), so the kernel remains explicit opt-in
-        # until its op count comes down.
-        backend = "xla"
+        # resolved OUTSIDE the lru_cache (the same process may build
+        # decoders under CPU tests and TPU runs). The fused kernel wins
+        # 1.32x at L=512 (AR4JA 8192, v5e B=1024 after the scratch-M
+        # rework) and measures exact parity at L=128 (both paths
+        # VPU-op-bound; CLAUDE.md round-5 continuation notes), so route
+        # to it only where it pays.
+        from opticommpy_tpu.kernels.lift_pallas import lift_budget_ok
+
+        L = lift_tables(mode, n, R)["L"]
+        backend = ("pallas" if jax.default_backend() != "cpu"
+                   and L % 8 == 0 and L >= 512 and alg in ("MSA", "NMSA")
+                   and lift_budget_ok(mode, n, R, msg_dtype)
+                   else "xla")
     return _make_lift_decoder(mode, n, R, max_iter, alg, msg_dtype,
                               early_exit, backend)
 

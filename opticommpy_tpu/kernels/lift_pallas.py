@@ -81,7 +81,7 @@ def _msa_group(xs, alpha, mdt):
     return out
 
 
-def _iter_body(x_ref, llr_ref, xo_ref, t_ref, ok_ref, *, chk_buckets,
+def _iter_body(x_ref, llr_ref, xo_ref, t_ref, ok_ref, m_ref, *, chk_buckets,
                ev_tabs, esh_tabs, L, V, alpha, mdt):
     bt = x_ref.shape[-1]
     f32 = jnp.float32
@@ -90,33 +90,34 @@ def _iter_body(x_ref, llr_ref, xo_ref, t_ref, ok_ref, *, chk_buckets,
     for v in range(V):
         t_ref[v] = llr_ref[v]
 
-    # pass 1: per check group, leave-one-out messages; T += back-rolls
+    # pass 1: per check group, leave-one-out messages (kept in the VMEM
+    # scratch m_ref for pass 2); T += back-rolls
     off = 0
     for (d, ng), ev, esh in zip(chk_buckets, ev_tabs, esh_tabs):
         for ig in range(ng):
             xs = [x_ref[off + sl * ng + ig].astype(f32) for sl in range(d)]
             ms = _msa_group(xs, alpha, mdt)
             for sl in range(d):
+                e = off + sl * ng + ig
                 v = int(ev[sl, ig])
                 bsh = (L - int(esh[sl, ig])) % L
+                m_ref[e] = ms[sl]
                 t_ref[v] = t_ref[v] + _sroll(ms[sl], bsh, L)
         off += d * ng
 
-    # pass 2: new extrinsic carry X' = mdt(roll(T)) - M (messages
-    # recomputed from the unchanged input ref — cheaper than storing
-    # them), plus the parity flags from the mdt-cast rolled totals
+    # pass 2: new extrinsic carry X' = mdt(roll(T)) - M, plus the parity
+    # flags from the mdt-cast rolled totals
     ok = jnp.zeros((1, bt), jnp.float32) == 0.0
     off = 0
     for (d, ng), ev, esh in zip(chk_buckets, ev_tabs, esh_tabs):
         for ig in range(ng):
-            xs = [x_ref[off + sl * ng + ig].astype(f32) for sl in range(d)]
-            ms = _msa_group(xs, alpha, mdt)
             par = None
             for sl in range(d):
+                e = off + sl * ng + ig
                 v = int(ev[sl, ig])
                 tot = _sroll(t_ref[v], int(esh[sl, ig]), L)
                 totm = tot.astype(mdt).astype(f32)
-                xo_ref[off + sl * ng + ig] = (totm - ms[sl]).astype(mdt)
+                xo_ref[e] = (totm - m_ref[e]).astype(mdt)
                 neg = totm < 0
                 par = neg if par is None else par ^ neg
             # check group satisfied iff every row's parity is even
@@ -124,6 +125,21 @@ def _iter_body(x_ref, llr_ref, xo_ref, t_ref, ok_ref, *, chk_buckets,
             ok = ok & (bad < 0.5)
         off += d * ng
     ok_ref[...] = jnp.broadcast_to(ok.astype(jnp.int32), ok_ref.shape)
+
+
+def _vmem_need(E, L, V, bt, msize):
+    """Compile-time VMEM estimate: double-buffered refs + f32 scratch."""
+    refs = 2 * E * L * bt * msize + 2 * V * L * bt * 4 + 8 * bt * 4
+    return int(refs * 2.4) + E * L * bt * 4 + 2**23
+
+
+def lift_budget_ok(mode, n, R, msg_dtype="bf16", bt=128):
+    """True if the fused iteration kernel fits the ~100 MB VMEM budget."""
+    from opticommpy_tpu.comm.fec_lift import lift_tables
+
+    tb = lift_tables(mode, n, R)
+    msize = 2 if msg_dtype == "bf16" else 4
+    return _vmem_need(tb["E"], tb["L"], tb["V"], bt, msize) <= 100 * 2**20
 
 
 @partial(jax.jit, static_argnames=("mode", "n", "R", "alg", "msg_dtype",
@@ -153,7 +169,12 @@ def lift_iter_pallas(X, llr_bo, *, mode, n, R, alg="NMSA",
     mdt = jnp.bfloat16 if msg_dtype == "bf16" else jnp.float32
     alpha = 0.75 if alg == "NMSA" else None
     msize = 2 if msg_dtype == "bf16" else 4
-    need = (2 * E * L * bt * msize + 2 * V * L * bt * 4 + 8 * bt * 4)
+    need = _vmem_need(E, L, V, bt, msize)
+    if not interpret and need > 100 * 2**20:
+        raise ValueError(
+            f"lift kernel VMEM estimate {need / 2**20:.0f} MB exceeds the "
+            f"~100 MB budget for {mode} n={n} at bt={bt}; use the XLA "
+            "backend (make_lift_decoder backend='xla')")
 
     body = partial(_iter_body, chk_buckets=tb["chk_buckets"],
                    ev_tabs=tb["ev"], esh_tabs=tb["esh"], L=L, V=V,
@@ -175,11 +196,11 @@ def lift_iter_pallas(X, llr_bo, *, mode, n, R, alg="NMSA",
             jax.ShapeDtypeStruct((V, L, B), jnp.float32),
             jax.ShapeDtypeStruct((8, B), jnp.int32),
         ],
-        # Pallas double-buffers the in/out blocks across grid steps, so
-        # the stack allocation is ~2x the resident refs plus temporaries
+        scratch_shapes=[pltpu.VMEM((E, L, bt), jnp.float32)],
+        # _vmem_need already covers the double-buffered in/out blocks
+        # plus the f32 message scratch and slack
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(100 * 2**20,
-                                 max(16 * 2**20, int(need * 2.4) + 2**23))),
+            vmem_limit_bytes=max(16 * 2**20, need)),
         interpret=interpret,
     )(X.astype(mdt), llr_bo)
     return Xn, T, ok[0] != 0
