@@ -344,6 +344,39 @@ def run_fec_decode(batch=128, early_exit=False, snr_db=2.3,
     return 64800 * batch / min(times) / 1e6
 
 
+def run_ar4ja_decode(batch=1024):
+    """AR4JA 8192b R1/2 BP decode (NMSA-20, bf16), info-Mbit/s.
+
+    The deep-space code family through the lifted-circulant decoder
+    (comm/fec_lift.py); backend='auto' resolves to the fused Pallas
+    iteration kernel on accelerators (kernels/lift_pallas.py, round-5
+    continuation: 1.32x the XLA slice-roll iteration at this shape,
+    decisions identical). Info-bit accounting (n*R*B/t) — NOTE
+    bench_fec's historical lift rows counted CODE bits.
+    """
+    import jax.numpy as jnp
+
+    from opticommpy_tpu.comm import fec_lift
+
+    dec = fec_lift.make_lift_decoder("AR4JA", 8192, 0.5, 20, "NMSA", "bf16")
+    tb = fec_lift.lift_tables("AR4JA", 8192, 0.5)
+    rng = np.random.default_rng(0)
+    llrs = jnp.asarray((2.0 + rng.normal(
+        scale=1.2, size=(tb["V"] * tb["L"], batch))).astype(np.float32))
+
+    def run():
+        out, iters, fail = dec(llrs)
+        return float(jnp.mean(out) + jnp.sum(iters) + jnp.sum(fail))
+
+    run()  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return 8192 * 0.5 * batch / min(times) / 1e6
+
+
 def run_adaptive_train_b8(batch=8):
     """BATCHED multi-stage adaptive training chain, aggregate Msym/s.
 
@@ -690,6 +723,8 @@ def main():
                        lambda: round(run_fec_decode(
                            batch=512, early_exit=True,
                            schedule="layered"), 1))
+    ar4ja = _aux("ar4ja_decode_b1024",
+                 lambda: round(run_ar4ja_decode(), 1))
     _fft = _aux("fft_roofline", run_fft_roofline)
     fft_pair, fft_frac = _fft if _fft is not None else (None, None)
     _nl = _aux("nl_step_roofline", run_nl_step_roofline)
@@ -739,6 +774,9 @@ def main():
         # opt-in serial-C schedule (schedule='layered'): same workload as
         # the earlyexit key; ~1.4x it via ~1.8x fewer sweeps (round 5)
         result["dvbs2_decode_Mbit_per_s_b512_layered"] = fec_lay_512
+    if ar4ja is not None:
+        # info-bit accounting; auto -> fused Pallas lift iteration kernel
+        result["ar4ja_decode_info_Mbit_per_s_b1024"] = ar4ja
     if fft_pair is not None:
         result["fft_pair_us"] = round(fft_pair * 1e6, 1)
     if fft_frac is not None:

@@ -189,16 +189,16 @@ class FFWClockRecoveryConfig:
     sps: int = 2  # samples/symbol of the input
 
 
-def _ffw_timing_estimate(x, L, W):
-    """Per-block Godard/O&M timing phase at 2 samples/symbol.
+def _ffw_timing_estimate(x, L, W, sps=2):
+    """Per-block Godard/O&M timing phase at ``sps`` samples/symbol.
 
-    Computes ``A_b = sum_k X_b[k] conj(X_b[k - L/2])`` over a window of
-    bins around ``k = L/4`` — the POSITIVE-frequency band-edge overlap
-    only. (Summing the full spectrum gives the DFT of ``|x|^2`` at
-    Nyquist, which is real-valued: at 2 SpS the symbol-rate tone sits
-    exactly at Nyquist and its phase is unobservable — the classic
+    Computes ``A_b = sum_k X_b[k] conj(X_b[k - L/sps])`` over a window
+    of bins around ``k = L/(2*sps)`` — the POSITIVE-frequency band-edge
+    overlap only. (At 2 SpS summing the full spectrum gives the DFT of
+    ``|x|^2`` at Nyquist, which is real-valued: the symbol-rate tone
+    sits exactly at Nyquist and its phase is unobservable — the classic
     degeneracy. The single-sided sum keeps the analytic part, whose
-    phase is ``-2*pi*tau/T``.)
+    phase is ``-2*pi*tau/T``, at any oversampling.)
 
     Returns the unwrapped per-block timing ``tau`` (symbols) and the
     estimator magnitudes ``|A_b|`` (fit weights).
@@ -206,8 +206,10 @@ def _ffw_timing_estimate(x, L, W):
     nb = x.shape[0] // L
     xb = x[: nb * L].reshape(nb, L, -1)
     X = jnp.fft.fft(xb, axis=1)
-    Xs = jnp.roll(X, L // 2, axis=1)
-    sl = slice(L // 4 - W, L // 4 + W)
+    # symbol rate = fs/sps -> L/sps bins; band-edge overlap around Rs/2
+    Xs = jnp.roll(X, L // sps, axis=1)
+    c = L // (2 * sps)
+    sl = slice(c - W, c + W)
     A = jnp.sum(X[:, sl] * jnp.conj(Xs[:, sl]), axis=(1, 2))
     eps = -jnp.angle(A) / (2 * jnp.pi)  # symbols, in [-0.5, 0.5)
     d = eps[1:] - eps[:-1]
@@ -303,8 +305,9 @@ def ffw_clock_recovery(sig, config: FFWClockRecoveryConfig = FFWClockRecoveryCon
     sps = cfg.sps
     if n_in < 2 * L:
         raise ValueError(f"need >= {2 * L} samples for {L}-sample blocks")
-    W = max(8, int(cfg.rollOff * L / 4) + 32)
-    tau, w = _ffw_timing_estimate(sig, L, W)
+    W = max(8, int(cfg.rollOff * L / (2 * sps)) + 32)
+    W = min(W, L // (2 * sps))  # window must stay in the positive band
+    tau, w = _ffw_timing_estimate(sig, L, W, sps)
     nb = tau.shape[0]
 
     # |A|-weighted least squares tau ~ a + b*block (timing drifts

@@ -303,3 +303,32 @@ def test_ffw_clock_recovery_pwl_tracks_varying_drift():
         errs[fit] = np.mean(
             np.abs(np.asarray(y)[64:-64] - xr[:n_out][64:-64]) ** 2)
     assert errs["pwl"] < 0.5 * errs["linear"], errs
+
+
+def test_ffw_clock_recovery_at_4sps():
+    """The estimator generalizes over the oversampling factor: at 4 SpS
+    the symbol-rate line sits at fs/4 (no Nyquist degeneracy, but the
+    same single-sided band-edge sum applies) and the corrected signal
+    matches the clean 4-SpS waveform."""
+    from opticommpy_tpu.comm.modulation import gray_mapping
+    from opticommpy_tpu.dsp import FFWClockRecoveryConfig, ffw_clock_recovery
+
+    rng = np.random.default_rng(21)
+    n_sym, sps = 2**14, 4
+    const = gray_mapping(16, "qam")
+    const = (const / np.sqrt(np.mean(np.abs(const) ** 2))).astype(np.complex64)
+    sym = const[rng.integers(0, 16, size=(n_sym, 2))]
+    pulse = jnp.asarray(pulse_shape("rrc", sps, 1025, 0.1).astype(np.float32))
+    x = pnorm(fir_filter(pulse, upsample(jnp.asarray(sym), sps)))
+    x = x + (0.05 * (rng.standard_normal(x.shape)
+                     + 1j * rng.standard_normal(x.shape))).astype(np.complex64)
+    ppm_true = 150.0
+    x_off = clock_sampling_interp(x, 4.0, 4.0 * (1 + ppm_true * 1e-6))
+    cfg = FFWClockRecoveryConfig(rollOff=0.1, sps=4)
+    y, (ppm_est, _) = jax.jit(
+        lambda s: ffw_clock_recovery(s, cfg, return_est=True))(x_off)
+    assert abs(float(ppm_est) - ppm_true) < 3.0, float(ppm_est)
+    n_out = y.shape[0]
+    xc = np.asarray(x)[:n_out]
+    err = np.mean(np.abs(np.asarray(y)[64:-64] - xc[64:-64]) ** 2)
+    assert err < 0.03, err
