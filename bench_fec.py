@@ -189,11 +189,20 @@ def bench_lift():
                 t0 = time.perf_counter()
                 float(dec_g(llrs))
                 ts.append(time.perf_counter() - t0)
+            # value keeps the mother-code-bit accounting (g[n]*B/t) for
+            # continuity with the logged round-3/4 numbers; info_Mbit_per_s
+            # carries the honest k*B/t with k = transmitted-n * nominal rate
+            # (bench.py's ar4ja key uses info bits; AR4JA's g[n] is the
+            # UNpunctured mother code, 1.25x the transmitted length)
+            num, den = (int(s) for s in R.split("/"))
+            k_info = n * num // den
             print(json.dumps({
                 "metric": f"LDPC BP decode gather-path (MSA, {mode} n={n} "
                           f"R{R}, {MAX_ITER} iters, B={b})",
                 "value": round(g["n"] * b / min(ts) / 1e6, 2),
-                "unit": "Mbit/s"}), flush=True)
+                "unit": "coded-Mbit/s",
+                "info_Mbit_per_s": round(k_info * b / min(ts) / 1e6,
+                                         2)}), flush=True)
             ldec = fec_lift.make_lift_decoder(mode, n, R, MAX_ITER, "MSA",
                                               "bf16")
 
@@ -211,7 +220,9 @@ def bench_lift():
                 "metric": f"LDPC BP decode lift-roll path (MSA, {mode} "
                           f"n={n} R{R}, {MAX_ITER} iters, B={b}, msg=bf16)",
                 "value": round(g["n"] * b / min(ts) / 1e6, 2),
-                "unit": "Mbit/s"}), flush=True)
+                "unit": "coded-Mbit/s",
+                "info_Mbit_per_s": round(k_info * b / min(ts) / 1e6,
+                                         2)}), flush=True)
 
 
 if __name__ == "__main__":
